@@ -1,0 +1,86 @@
+"""Context — the application's one handle to the engine.
+
+TPU-native replacement for the reference's ``Context`` (context.zig:101-219),
+which owned VkInstance + VkDevice + VkSurface + three queues. Here there is
+no loader/dispatch machinery: ``jax.devices()`` replaces device enumeration
+(base.zig:446-472), command-buffer submission becomes calling a jit-compiled
+pass program (command_buffer.zig + queue.zig:41 → XLA dispatch), and the
+comptime DI env (env.zig) collapses into plain attributes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+
+from ..utils.logging import scoped
+
+_log_device = scoped("device")
+_log_instance = scoped("instance")
+
+
+@dataclasses.dataclass
+class ContextConfig:
+    """Engine-level knobs (analog of Context.Config, context.zig:92-97)."""
+
+    #: Preferred jax platform ("tpu", "cpu", ...); None = first available.
+    platform: str | None = None
+    #: Validate render graphs at bake time (the validation-layer analog,
+    #: context.zig:145-147 — done statically here instead of at runtime).
+    validation: bool = True
+    #: Run Pallas kernels in interpreter mode (needed on CPU backends).
+    interpret: bool | None = None
+
+
+class Context:
+    """Device handle + renderer config + compilation cache.
+
+    The reference picks the first discrete GPU (base.zig:446-472); we pick
+    the first device of the preferred platform. ``submit`` is the analog of
+    ``Context.submitCommands`` (context.zig:192-210): it executes a compiled
+    pass program — ordering between programs is carried by data dependencies,
+    so the reference's queue routing (and its .Compute→present bug,
+    context.zig:200) has no equivalent here.
+    """
+
+    def __init__(self, config: ContextConfig | None = None):
+        self.config = config or ContextConfig()
+        devices = (jax.devices(self.config.platform)
+                   if self.config.platform else jax.devices())
+        if not devices:
+            raise RuntimeError("no jax devices available")
+        self.device = devices[0]
+        self.devices = devices
+        _log_device.info("selected device: %s (of %d)", self.device,
+                         len(devices))
+        # Pallas interpret mode: required when not running on a real TPU.
+        if self.config.interpret is None:
+            self.config.interpret = self.device.platform != "tpu"
+        #: jit cache: name -> compiled callable (the XLA-compilation-cache
+        #: analog of SURVEY.md §5.4's suggested bake cache).
+        self._programs: dict[Any, Callable] = {}
+
+    @property
+    def interpret(self) -> bool:
+        return bool(self.config.interpret)
+
+    def compile(self, key: Any, build: Callable[[], Callable]) -> Callable:
+        """Memoize a jitted pass program under ``key``."""
+        prog = self._programs.get(key)
+        if prog is None:
+            prog = build()
+            self._programs[key] = prog
+        return prog
+
+    def submit(self, program: Callable, *args, **kwargs):
+        """Execute a pass program (context.zig:192 analog). Async by nature:
+        XLA dispatch returns immediately; call ``block_until_ready`` on the
+        result for a fence (sync.zig:24-54 analog)."""
+        return program(*args, **kwargs)
+
+    def wait_idle(self, *arrays) -> None:
+        """DeviceHandler.waitIdle analog (base.zig:644)."""
+        for a in arrays:
+            jax.block_until_ready(a)

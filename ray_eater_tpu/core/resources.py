@@ -1,0 +1,157 @@
+"""GPU resources as arrays/pytrees.
+
+TPU-native replacement for the reference's buffer/image zoo (buffer.zig,
+vertex_buffer.zig, index_buffer.zig, uniform.zig, storage_buffer.zig,
+image.zig, texture.zig, depth.zig, frame_buffer.zig): every resource is an
+HBM-resident jax array (or a small pytree of them). ``setData`` becomes a
+functional update / ``jax.device_put`` (the staging-DMA path of
+buffer.zig:140-161 collapses into one host→HBM DMA), and layout transitions
+/ barriers (image.zig:203-293) vanish into XLA data dependencies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pytree_dataclass(cls):
+    """Register a dataclass as a jax pytree (array fields = children)."""
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    data = [n for n in fields if n not in getattr(cls, "_static_fields", ())]
+    meta = [n for n in fields if n in getattr(cls, "_static_fields", ())]
+    return jax.tree_util.register_dataclass(cls, data_fields=data,
+                                            meta_fields=meta)
+
+
+# ---------------------------------------------------------------------------
+# Framebuffer (frame_buffer.zig + depth.zig + renderpass clear semantics)
+# ---------------------------------------------------------------------------
+
+@pytree_dataclass
+class Framebuffer:
+    """HBM-resident render target: color ``(H, W, 4)`` f32 linear-light and
+    depth ``(H, W)`` f32 (frame_buffer.zig:36-51 + depth.zig:17-37).
+
+    The width is padded to a multiple of 128 lanes at creation so Pallas
+    kernels always see aligned tiles; ``width``/``height`` record the
+    logical extent (crop on present).
+    """
+
+    color: jnp.ndarray   # (H, Wpad, 4) float32
+    depth: jnp.ndarray   # (H, Wpad)    float32
+    width: int
+    height: int
+
+    _static_fields = ("width", "height")
+
+    @property
+    def padded_width(self) -> int:
+        return self.color.shape[1]
+
+    @property
+    def padded_height(self) -> int:
+        return self.color.shape[0]
+
+
+def _pad(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def create_framebuffer(width: int, height: int,
+                       clear_color=(0.0, 0.0, 0.0, 1.0),
+                       clear_depth: float = 1.0,
+                       row_align: int = 8,
+                       lane_align: int = 128) -> Framebuffer:
+    """Allocate + clear a framebuffer.
+
+    Clear values are array initialization — the reference hardcodes black /
+    depth=1.0 at vkCmdBeginRenderPass (renderpass.zig:128-132); here they are
+    explicit arguments with the same defaults.
+    """
+    wp, hp = _pad(width, lane_align), _pad(height, row_align)
+    color = jnp.broadcast_to(jnp.asarray(clear_color, jnp.float32),
+                             (hp, wp, 4)).copy()
+    depth = jnp.full((hp, wp), clear_depth, jnp.float32)
+    return Framebuffer(color=color, depth=depth, width=width, height=height)
+
+
+def clear(fb: Framebuffer, clear_color=(0.0, 0.0, 0.0, 1.0),
+          clear_depth: float = 1.0) -> Framebuffer:
+    """Functional clear (renderpass.zig:126-141 begin-pass clear analog)."""
+    color = jnp.broadcast_to(jnp.asarray(clear_color, jnp.float32),
+                             fb.color.shape).astype(jnp.float32)
+    depth = jnp.full_like(fb.depth, clear_depth)
+    return Framebuffer(color=color, depth=depth,
+                       width=fb.width, height=fb.height)
+
+
+# ---------------------------------------------------------------------------
+# Textures + samplers (image.zig:85-129, texture.zig)
+# ---------------------------------------------------------------------------
+
+class Filter(enum.Enum):
+    NEAREST = "nearest"
+    LINEAR = "linear"
+
+
+class AddressMode(enum.Enum):
+    """Wrap modes supported by the reference sampler (image.zig:96-101)."""
+    REPEAT = "repeat"
+    MIRRORED_REPEAT = "mirrored_repeat"
+    CLAMP_TO_EDGE = "clamp_to_edge"
+
+
+@dataclasses.dataclass(frozen=True)
+class Sampler:
+    """Static sampler state (image.zig:85-129; anisotropy is a no-op here —
+    we have no mips yet, matching the reference's single-mip images,
+    image.zig:360-366)."""
+    filter: Filter = Filter.LINEAR
+    address_mode: AddressMode = AddressMode.MIRRORED_REPEAT
+
+
+@pytree_dataclass
+class Texture:
+    """2D texture: ``(H, W, 4)`` float32 *linear-light* texels.
+
+    The reference stores textures as r8g8b8a8_srgb and the hardware converts
+    sRGB→linear at sample time (image.zig:449-455); we decode once at upload
+    (see io.image.decode_srgb) and keep linear floats in HBM — same sampled
+    values, no per-sample transcendentals.
+    """
+    data: jnp.ndarray  # (H, W, 4) float32 linear
+    sampler: Sampler = dataclasses.field(default=Sampler())
+
+    _static_fields = ("sampler",)
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+
+def texture_from_array(rgba_u8: np.ndarray, sampler: Sampler | None = None,
+                       srgb: bool = True) -> Texture:
+    """Upload an ``(H, W, 4)`` uint8 image as a texture (Image.fromFile
+    analog, image.zig:436-463 — host decode + one DMA, no staging chain)."""
+    from ..io.image import srgb_to_linear
+    f = rgba_u8.astype(np.float32) / 255.0
+    if srgb:
+        f[..., :3] = srgb_to_linear(f[..., :3])
+    return Texture(data=jnp.asarray(f), sampler=sampler or Sampler())
+
+
+def texture_from_file(path: str, sampler: Sampler | None = None) -> Texture:
+    """TexImage.fromFile analog (texture.zig:52-74)."""
+    from ..io.image import load_image
+    return texture_from_array(load_image(path), sampler)

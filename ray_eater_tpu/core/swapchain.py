@@ -1,0 +1,104 @@
+"""Swapchain → double-buffered device→host DMA present ring.
+
+The reference's swapchain (swapchain.zig) acquires/present images against a
+window through WSI. On TPU the "display" is the host: present = encode the
+HBM framebuffer to sRGB u8 on device, then DMA it to host memory. The ring
+(default depth 3 ≈ mailbox triple buffering, swapchain.zig:155-158) lets
+frame N+1's compute overlap frame N's readback: ``present`` starts an async
+copy and returns the *oldest completed* frame, so the caller never blocks on
+the frame it just submitted — the fence/semaphore chain of
+basic_planes.zig:341-349 collapses into this ring plus XLA data deps.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .context import Context
+from .resources import Framebuffer
+from ..utils.logging import scoped
+
+_log = scoped("swapchain")
+_log_present = scoped("present")
+
+
+def encode_present(color: jnp.ndarray, width: int, height: int,
+                   srgb: bool = True) -> jnp.ndarray:
+    """Device-side encode: crop to logical extent, linear→sRGB, u8 RGBA
+    (the r8g8b8a8_srgb surface-format conversion, swapchain.zig:44-49)."""
+    img = color[:height, :width, :]
+    if srgb:
+        from ..io.image import linear_to_srgb
+        rgb = linear_to_srgb(img[..., :3])
+        img = jnp.concatenate([rgb, jnp.clip(img[..., 3:], 0.0, 1.0)], -1)
+    else:
+        img = jnp.clip(img, 0.0, 1.0)
+    return jnp.round(img * 255.0).astype(jnp.uint8)
+
+
+class Swapchain:
+    """Present ring + FPS counter.
+
+    Typical loop (mirrors basic_planes.zig:316-350)::
+
+        sc = Swapchain(ctx, 900, 600)
+        while running:
+            fb = frame_program(fb, uniforms)       # submit
+            host_img = sc.present(fb)              # async readback
+            if host_img is not None: ...           # frame from ring
+        for img in sc.drain(): ...                 # tail frames
+    """
+
+    def __init__(self, ctx: Context, width: int, height: int,
+                 image_count: int = 3, srgb: bool = True):
+        self.ctx = ctx
+        self.width, self.height = width, height
+        self.image_count = max(2, image_count)
+        self.srgb = srgb
+        self._encode = jax.jit(
+            lambda c: encode_present(c, width, height, srgb))
+        self._inflight: deque[jax.Array] = deque()
+        self._frame_times: deque[float] = deque(maxlen=240)
+        self._t_last: float | None = None
+        self.frames_presented = 0
+        _log.info("swapchain %dx%d ring=%d srgb=%s", width, height,
+                  self.image_count, srgb)
+
+    def present(self, fb: Framebuffer) -> np.ndarray | None:
+        """Start async readback of ``fb``; return the oldest ready frame
+        (or None while the ring fills — the first acquire of
+        swapchain.zig:253-263 has the same warm-up)."""
+        encoded = self._encode(fb.color)
+        try:
+            encoded.copy_to_host_async()
+        except Exception:  # some backends lack async host copies
+            pass
+        self._inflight.append(encoded)
+
+        now = time.perf_counter()
+        if self._t_last is not None:
+            self._frame_times.append(now - self._t_last)
+        self._t_last = now
+        self.frames_presented += 1
+
+        if len(self._inflight) >= self.image_count:
+            return np.asarray(self._inflight.popleft())
+        return None
+
+    def drain(self):
+        """Block for and yield all remaining in-flight frames."""
+        while self._inflight:
+            yield np.asarray(self._inflight.popleft())
+
+    @property
+    def fps(self) -> float:
+        """Rolling FPS over recent presents (the profiling hook the
+        reference never built, SURVEY.md §5.1)."""
+        if not self._frame_times:
+            return 0.0
+        return len(self._frame_times) / sum(self._frame_times)

@@ -1,0 +1,279 @@
+"""Triangle rasterization as a tiled Pallas megakernel.
+
+TPU-native replacement for the reference's entire draw path: vertex fetch +
+vkCmdDrawIndexed + fixed-function raster + fragment dispatch
+(base.zig:608-642, graphics_pipeline.zig). Design (SURVEY.md §7 step 4):
+
+1. **Vertex stage** (jnp, MXU): transform the whole vertex buffer with one
+   (N,4)x(4,4) matmul, gather per-triangle corners, viewport-transform, and
+   bake each triangle into *screen-space plane equations* — two barycentric
+   planes (λ0, λ1) and one depth plane — so the hot kernel evaluates three
+   fused multiply-adds per triangle per pixel.
+2. **Raster kernel** (Pallas, VPU): grid over (8, 128)-pixel framebuffer
+   tiles × triangle chunks. Plane coefficients ride in SMEM; each triangle
+   is three fused multiply-adds + compares over the whole (8, 128) tile as
+   dense VPU ops, folded into the running per-pixel winner (depth LESS ==
+   running min). Culled/degenerate triangles skip via a real branch
+   (``pl.when``) costing only a scalar load. No atomics, static shapes.
+3. **Deferred shade** (jnp): the kernel emits a G-buffer (depth, winning
+   triangle id, barycentrics); varyings are gathered per visible pixel,
+   perspective-corrected, and fed to the pipeline's ``fragment_fn`` — all
+   fused by XLA into one shading program per pass.
+
+Vulkan semantics preserved: pixel centers at +0.5, viewport y-down NDC,
+depth in [0,1], clockwise-front/back-cull (graphics_pipeline.zig:137-140),
+depth compare LESS (graphics_pipeline.zig:262). Known deltas (documented):
+no top-left fill rule (shared edges may shade twice — harmless with
+blending off), and no near-plane clipping yet — triangles with any w ≤ eps
+are culled whole instead of clipped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.pipeline import (BlendMode, CompareOp, CullMode, FrontFace,
+                             GraphicsPipeline, blend_color)
+from ..core.resources import Framebuffer
+from ..models.mesh import Mesh
+from ..utils.logging import scoped
+
+_log = scoped("raster")
+
+TILE_H = 8     # f32 sublane tile
+TILE_W = 128   # lane tile
+CHUNK = 128    # triangles per grid step (SMEM setup block = 16x128)
+
+# setup-plane rows (see _triangle_setup)
+_ROWS = 16     # padded to the f32 sublane multiple
+_A0, _B0, _C0, _A1, _B1, _C1, _AZ, _BZ, _CZ, _VALID = range(10)
+
+_W_EPS = 1e-6
+_AREA_EPS = 1e-12
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def viewport_transform(clip: jnp.ndarray, width: int, height: int):
+    """Clip → framebuffer coords (Vulkan viewport, y-down NDC):
+    ``x_fb=(x/w+1)/2*W``, ``y_fb=(y/w+1)/2*H``, ``z=z/w`` in [0,1].
+    Returns (xy (N,2), z (N,), inv_w (N,))."""
+    w = clip[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) < _W_EPS, _W_EPS, w)
+    ndc = clip[..., :3] * inv_w[..., None]
+    x = (ndc[..., 0] + 1.0) * 0.5 * width
+    y = (ndc[..., 1] + 1.0) * 0.5 * height
+    return jnp.stack([x, y], -1), ndc[..., 2], inv_w
+
+
+def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
+                    state, width: int, height: int):
+    """Bake triangles into plane equations for the raster kernel.
+
+    Returns ``setup`` (16, Tpad) f32 laid out triangle-per-lane:
+    rows a0,b0,c0 / a1,b1,c1 are the normalized barycentric planes
+    (λi = a·px + b·py + c); az,bz,cz is the depth plane; row VALID is the
+    cull/degenerate/near mask. Also returns per-triangle inv_w (T, 3).
+    """
+    tri_clip = clip[indices]                       # (T, 3, 4)
+    xy, z, inv_w = viewport_transform(tri_clip, width, height)
+    x0, x1, x2 = xy[:, 0, 0], xy[:, 1, 0], xy[:, 2, 0]
+    y0, y1, y2 = xy[:, 0, 1], xy[:, 1, 1], xy[:, 2, 1]
+
+    # signed doubled area; in y-down screen space clockwise > 0
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+
+    front_sign = 1.0 if state.front_face is FrontFace.CLOCKWISE else -1.0
+    facing = area2 * front_sign
+    if state.cull_mode is CullMode.BACK:
+        keep = facing > 0
+    elif state.cull_mode is CullMode.FRONT:
+        keep = facing < 0
+    else:
+        keep = jnp.abs(area2) > _AREA_EPS
+    # near-plane guard: cull triangles with any vertex behind the camera
+    keep &= jnp.all(tri_clip[..., 3] > _W_EPS, axis=-1)
+    keep &= jnp.abs(area2) > _AREA_EPS
+
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) < _AREA_EPS, 1.0, area2)
+    # λ0 plane: edge v1→v2
+    a0 = -(y2 - y1) * inv_area
+    b0 = (x2 - x1) * inv_area
+    c0 = ((y2 - y1) * x1 - (x2 - x1) * y1) * inv_area
+    # λ1 plane: edge v2→v0
+    a1 = -(y0 - y2) * inv_area
+    b1 = (x0 - x2) * inv_area
+    c1 = ((y0 - y2) * x2 - (x0 - x2) * y2) * inv_area
+    # depth plane: z(p) = λ0 z0 + λ1 z1 + (1-λ0-λ1) z2
+    z0, z1, z2 = z[:, 0], z[:, 1], z[:, 2]
+    az = a0 * (z0 - z2) + a1 * (z1 - z2)
+    bz = b0 * (z0 - z2) + b1 * (z1 - z2)
+    cz = c0 * (z0 - z2) + c1 * (z1 - z2) + z2
+
+    t = clip.dtype.type if hasattr(clip.dtype, "type") else jnp.float32
+    rows = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz,
+                      keep.astype(jnp.float32)])          # (10, T)
+    tpad = max(_pad_to(rows.shape[1], CHUNK), CHUNK)
+    setup = jnp.zeros((_ROWS, tpad), jnp.float32)
+    setup = setup.at[:10, :rows.shape[1]].set(rows)
+    return setup, inv_w
+
+
+def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
+                   l0_ref, l1_ref, *, width, height, depth_test, last_wins):
+    """One (tile, chunk) grid step: fold CHUNK triangles into the tile."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        depth_ref[:] = (depth_init_ref[:] if depth_test
+                        else jnp.full_like(depth_init_ref[:], jnp.inf))
+        tri_ref[:] = jnp.full_like(tri_ref[:], -1)
+        l0_ref[:] = jnp.zeros_like(l0_ref[:])
+        l1_ref[:] = jnp.zeros_like(l1_ref[:])
+
+    # pixel-center coordinates of this tile: (TILE_H, TILE_W)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0
+                                   ).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1
+                                   ).astype(jnp.float32)
+    py = (i * TILE_H).astype(jnp.float32) + row + 0.5
+    px = (j * TILE_W).astype(jnp.float32) + col + 0.5
+    scissor = (px < width) & (py < height)
+
+    def fold(c, _):
+        """Fold triangle ``c`` of this chunk into the per-pixel winner."""
+        valid = setup_ref[_VALID, c]
+
+        @pl.when(valid > 0.5)
+        def _():
+            a0, b0, c0 = (setup_ref[_A0, c], setup_ref[_B0, c],
+                          setup_ref[_C0, c])
+            a1, b1, c1 = (setup_ref[_A1, c], setup_ref[_B1, c],
+                          setup_ref[_C1, c])
+            az, bz, cz = (setup_ref[_AZ, c], setup_ref[_BZ, c],
+                          setup_ref[_CZ, c])
+            lam0 = a0 * px + b0 * py + c0             # (TH, TW)
+            lam1 = a1 * px + b1 * py + c1
+            zval = az * px + bz * py + cz
+            covered = (lam0 >= 0.0) & (lam1 >= 0.0) & (lam0 + lam1 <= 1.0)
+            covered &= scissor & (zval >= 0.0) & (zval <= 1.0)
+
+            gid = k * CHUNK + c
+            if last_wins:
+                # without depth test the last covering primitive wins:
+                # sort key = descending global index
+                key = jnp.where(covered, -(gid).astype(jnp.float32),
+                                jnp.inf)
+            else:
+                key = jnp.where(covered, zval, jnp.inf)
+
+            cur = depth_ref[:]
+            upd = key < cur
+            depth_ref[:] = jnp.where(upd, key, cur)
+            tri_ref[:] = jnp.where(upd, gid, tri_ref[:])
+            l0_ref[:] = jnp.where(upd, lam0, l0_ref[:])
+            l1_ref[:] = jnp.where(upd, lam1, l1_ref[:])
+
+    jax.lax.fori_loop(0, CHUNK, fold, None)
+
+
+def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
+                 interpret):
+    hp, wp = depth_init.shape
+    tpad = setup.shape[1]
+    grid = (hp // TILE_H, wp // TILE_W, tpad // CHUNK)
+    kernel = functools.partial(
+        _raster_kernel, width=float(width), height=float(height),
+        depth_test=depth_test, last_wins=last_wins)
+    tile = lambda i, j, k: (i, j)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # plane coefficients are consumed scalar-wise → SMEM
+            pl.BlockSpec((_ROWS, CHUNK), lambda i, j, k: (0, k),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_H, TILE_W), tile, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), tile, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),   # depth / key
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),     # winner tri id
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),   # λ0
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),   # λ1
+        ],
+        interpret=interpret,
+    )(setup, depth_init)
+    return out
+
+
+def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
+           varyings: dict, indices, inv_w, resources) -> Framebuffer:
+    """Deferred shading: perspective-correct varyings for winner triangles,
+    run fragment_fn, merge into the framebuffer."""
+    mask = gtri >= 0
+    t = jnp.maximum(gtri, 0)                          # (H, W)
+    l2 = 1.0 - gl0 - gl1
+    lam = jnp.stack([gl0, gl1, l2], -1)               # (H, W, 3)
+    iw = inv_w[t]                                     # (H, W, 3)
+    lp = lam * iw
+    denom = jnp.sum(lp, -1, keepdims=True)
+    lp = lp / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+
+    vary_px = {}
+    for name, v in varyings.items():                  # v: (N, K)
+        tv = v[indices]                               # (T, 3, K)
+        g = tv[t]                                     # (H, W, 3, K)
+        vary_px[name] = jnp.einsum("hwi,hwik->hwk", lp, g)
+
+    rgba = pipe.fragment_fn(vary_px, resources)       # (H, W, 4)
+    out = blend_color(pipe.state.blend, rgba, fb.color)
+    color = jnp.where(mask[..., None], out, fb.color)
+
+    if pipe.state.depth_test and pipe.state.depth_write:
+        depth = gdepth        # kernel already min-folded against fb depth
+    elif pipe.state.depth_write:
+        depth = jnp.where(mask, gdepth, fb.depth)
+    else:
+        depth = fb.depth
+    return Framebuffer(color=color, depth=depth,
+                       width=fb.width, height=fb.height)
+
+
+def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
+                resources: Any, fb: Framebuffer,
+                interpret: bool = False) -> Framebuffer:
+    """Draw one mesh through a graphics pipeline into ``fb`` — the analog of
+    the reference's bind-and-drawIndexed sequence (basic_planes.zig:329-335).
+    Fully jittable; compose under jax.jit / the render graph."""
+    clip, varyings = pipe.vertex_fn(mesh_.positions, mesh_.attributes,
+                                    uniforms)
+    state = pipe.state
+    setup, inv_w = _triangle_setup(clip, mesh_.indices, state,
+                                   fb.width, fb.height)
+    last_wins = not state.depth_test
+    depth_cmp = state.depth_compare
+    if depth_cmp is CompareOp.ALWAYS:
+        last_wins = True
+    gdepth, gtri, gl0, gl1 = _raster_call(
+        setup, fb.depth, fb.width, fb.height,
+        depth_test=state.depth_test, last_wins=last_wins,
+        interpret=interpret)
+    return _shade(pipe, fb, gdepth, gtri, gl0, gl1, varyings, mesh_.indices,
+                  inv_w, resources)

@@ -1,0 +1,64 @@
+"""Texture sampling — the combined-image-sampler analog.
+
+Implements Vulkan-convention normalized-coordinate sampling (what
+``texture(tex, uv)`` in shader.frag:19 does) as pure jnp gathers so XLA can
+fuse sampling into the fragment-shading program. Address modes and filters
+match the reference sampler state (image.zig:85-129: linear filter,
+mirrored_repeat used by TexImage, texture.zig:25-27).
+
+TPU note: gathers run on the scalar/vector path, not the MXU — this is the
+known-slow op of the pipeline (SURVEY.md §7 hard part 3). The deferred
+design keeps it to exactly one sample per *visible* pixel per textured pass.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.resources import AddressMode, Filter, Sampler, Texture
+
+
+def _wrap(i: jnp.ndarray, n: int, mode: AddressMode) -> jnp.ndarray:
+    """Apply an address mode to integer texel indices (may be out of range
+    on either side)."""
+    if mode is AddressMode.REPEAT:
+        return jnp.mod(i, n)
+    if mode is AddressMode.MIRRORED_REPEAT:
+        m = jnp.mod(i, 2 * n)
+        return jnp.where(m >= n, 2 * n - 1 - m, m)
+    return jnp.clip(i, 0, n - 1)  # CLAMP_TO_EDGE
+
+
+def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``tex`` at normalized ``uv`` (..., 2) → (..., 4) linear RGBA.
+
+    Vulkan texel addressing: ``t = uv * size - 0.5`` with the filter applied
+    in unnormalized texel space.
+    """
+    data = tex.data
+    h, w = data.shape[0], data.shape[1]
+    s = tex.sampler
+    u = uv[..., 0] * w - 0.5
+    v = uv[..., 1] * h - 0.5
+
+    if s.filter is Filter.NEAREST:
+        xi = _wrap(jnp.floor(u + 0.5).astype(jnp.int32), w, s.address_mode)
+        yi = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, s.address_mode)
+        return data[yi, xi]
+
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    fx = (u - x0.astype(jnp.float32))[..., None]
+    fy = (v - y0.astype(jnp.float32))[..., None]
+    x0w = _wrap(x0, w, s.address_mode)
+    x1w = _wrap(x0 + 1, w, s.address_mode)
+    y0w = _wrap(y0, h, s.address_mode)
+    y1w = _wrap(y0 + 1, h, s.address_mode)
+
+    t00 = data[y0w, x0w]
+    t10 = data[y0w, x1w]
+    t01 = data[y1w, x0w]
+    t11 = data[y1w, x1w]
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
