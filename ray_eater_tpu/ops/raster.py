@@ -128,7 +128,8 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
 
 
 def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
-                   l0_ref, l1_ref, *, width, height, depth_test, last_wins):
+                   l0_ref, l1_ref, *, width, height, depth_test, last_wins,
+                   less_equal=False):
     """One (tile, chunk) grid step: fold CHUNK triangles into the tile."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -179,7 +180,9 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
                 key = jnp.where(covered, zval, jnp.inf)
 
             cur = depth_ref[:]
-            upd = key < cur
+            # LESS_EQUAL: equal-depth fragments win in draw order
+            # (the depth-prepass + lit-pass pattern)
+            upd = (key <= cur) if less_equal else (key < cur)
             depth_ref[:] = jnp.where(upd, key, cur)
             tri_ref[:] = jnp.where(upd, gid, tri_ref[:])
             l0_ref[:] = jnp.where(upd, lam0, l0_ref[:])
@@ -189,13 +192,13 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
 
 
 def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
-                 interpret):
+                 interpret, less_equal=False):
     hp, wp = depth_init.shape
     tpad = setup.shape[1]
     grid = (hp // TILE_H, wp // TILE_W, tpad // CHUNK)
     kernel = functools.partial(
         _raster_kernel, width=float(width), height=float(height),
-        depth_test=depth_test, last_wins=last_wins)
+        depth_test=depth_test, last_wins=last_wins, less_equal=less_equal)
     tile = lambda i, j, k: (i, j)
     out = pl.pallas_call(
         kernel,
@@ -274,6 +277,7 @@ def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
     gdepth, gtri, gl0, gl1 = _raster_call(
         setup, fb.depth, fb.width, fb.height,
         depth_test=state.depth_test, last_wins=last_wins,
-        interpret=interpret)
+        interpret=interpret,
+        less_equal=depth_cmp is CompareOp.LESS_EQUAL)
     return _shade(pipe, fb, gdepth, gtri, gl0, gl1, varyings, mesh_.indices,
                   inv_w, resources)
