@@ -1,0 +1,79 @@
+"""Flagship benchmark: 1M-splat 3DGS flythrough at 1080p on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+baseline is the BASELINE.md target of 60 FPS at 1080p for a 1M-splat scene.
+Per-stage breakdown goes to stderr. Knobs via env:
+RAYEATER_BENCH_SPLATS, RAYEATER_BENCH_FRAMES, RAYEATER_BENCH_RES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TARGET_FPS = 60.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    import ray_eater_tpu as re
+    from ray_eater_tpu import rmath
+    from ray_eater_tpu.models.gaussians import random_cloud
+    from ray_eater_tpu.ops.gs import render_gaussians
+
+    n = int(os.environ.get("RAYEATER_BENCH_SPLATS", 1_000_000))
+    frames = int(os.environ.get("RAYEATER_BENCH_FRAMES", 10))
+    res = os.environ.get("RAYEATER_BENCH_RES", "1920x1080")
+    W, H = (int(v) for v in res.split("x"))
+
+    ctx = re.Context()
+    interpret = ctx.interpret
+    log(f"bench: {n} splats {W}x{H} x{frames} frames on {ctx.device}")
+
+    cloud = random_cloud(n, seed=1, extent=1.0, scale_range=(0.004, 0.02))
+
+    @jax.jit
+    def frame(view, proj):
+        return render_gaussians(cloud, view, proj, W, H,
+                                interpret=interpret)
+
+    def camera(t):
+        ang = float(rmath.radians(30.0)) * t
+        eye = rmath.vec(2.5 * np.cos(ang), 0.8, 2.5 * np.sin(ang))
+        view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
+        proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
+        return view, proj
+
+    t0 = time.perf_counter()
+    img = frame(*camera(0.0))
+    jax.block_until_ready(img)
+    log(f"compile+first frame: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img = frame(*camera(i / 60.0))
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    fps = frames / dt
+    log(f"{frames} frames in {dt:.3f}s -> {fps:.2f} FPS "
+        f"({W * H * fps / 1e6:.0f} Mpix/s)")
+
+    print(json.dumps({
+        "metric": f"3dgs_{n // 1000}k_splats_{H}p_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / TARGET_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Gaussian splat scenes — the framework's flagship model family.
+
+The reference names 3D Gaussian Splatting as its goal renderer
+(README.md:7) but shipped none of it; this module and ops/gs.py build the
+full pipeline: scene representation + PLY interchange here, EWA projection /
+tile binning / depth-sorted compositing in ops/gs.py.
+
+PLY layout follows the original INRIA 3DGS export convention (x,y,z,
+f_dc_0..2 spherical-harmonic DC terms, opacity logit, scale_0..2 in log
+space, rot_0..3 quaternion), so scenes trained with public 3DGS tooling
+load directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.resources import pytree_dataclass
+from ..utils.logging import scoped
+
+_log = scoped("gs")
+
+#: SH DC basis constant: color = 0.5 + C0 * f_dc
+SH_C0 = 0.28209479177387814
+
+
+@pytree_dataclass
+class GaussianCloud:
+    """Struct-of-arrays splat scene (all float32):
+    means (N,3) world positions; scales (N,3) linear std-devs;
+    quats (N,4) normalized rotations (w,x,y,z); opacities (N,) in [0,1];
+    colors (N,3) linear RGB."""
+
+    means: jnp.ndarray
+    scales: jnp.ndarray
+    quats: jnp.ndarray
+    opacities: jnp.ndarray
+    colors: jnp.ndarray
+
+    @property
+    def num_splats(self) -> int:
+        return self.means.shape[0]
+
+
+def gaussian_cloud(means, scales, quats, opacities, colors) -> GaussianCloud:
+    f = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    return GaussianCloud(means=f(means).reshape(-1, 3),
+                         scales=f(scales).reshape(-1, 3),
+                         quats=f(quats).reshape(-1, 4),
+                         opacities=f(opacities).reshape(-1),
+                         colors=f(colors).reshape(-1, 3))
+
+
+def random_cloud(n: int, seed: int = 0, extent: float = 1.0,
+                 scale_range=(0.005, 0.03)) -> GaussianCloud:
+    """Synthetic benchmark scene: n splats in a cube, random anisotropic
+    scales/rotations/colors (the 1M-splat BASELINE config generator)."""
+    rng = np.random.RandomState(seed)
+    means = (rng.rand(n, 3).astype(np.float32) * 2 - 1) * extent
+    scales = (scale_range[0] + rng.rand(n, 3).astype(np.float32)
+              * (scale_range[1] - scale_range[0]))
+    q = rng.randn(n, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    opac = (0.3 + 0.7 * rng.rand(n)).astype(np.float32)
+    colors = rng.rand(n, 3).astype(np.float32)
+    return gaussian_cloud(means, scales, q, opac, colors)
+
+
+# ---------------------------------------------------------------------------
+# PLY interchange (INRIA 3DGS convention)
+# ---------------------------------------------------------------------------
+
+_PLY_PROPS = ("x", "y", "z", "f_dc_0", "f_dc_1", "f_dc_2", "opacity",
+              "scale_0", "scale_1", "scale_2", "rot_0", "rot_1", "rot_2",
+              "rot_3")
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def load_ply(path: str) -> GaussianCloud:
+    """Load a 3DGS PLY (binary_little_endian or ascii). Activations applied:
+    exp() on log-scales, sigmoid() on opacity logits, SH-DC → RGB."""
+    props, data = _read_ply_vertices(path)
+    cols = {name: data[:, i] for i, name in enumerate(props)}
+    missing = [p for p in _PLY_PROPS if p not in cols]
+    if missing:
+        raise ValueError(f"PLY {path} missing 3DGS properties: {missing}")
+    means = np.stack([cols["x"], cols["y"], cols["z"]], -1)
+    colors = np.clip(0.5 + SH_C0 * np.stack(
+        [cols["f_dc_0"], cols["f_dc_1"], cols["f_dc_2"]], -1), 0.0, 1.0)
+    opac = _sigmoid(cols["opacity"])
+    scales = np.exp(np.stack(
+        [cols["scale_0"], cols["scale_1"], cols["scale_2"]], -1))
+    quats = np.stack([cols["rot_0"], cols["rot_1"], cols["rot_2"],
+                      cols["rot_3"]], -1)
+    quats /= np.maximum(np.linalg.norm(quats, axis=1, keepdims=True), 1e-12)
+    _log.info("loaded %d splats from %s", len(means), path)
+    return gaussian_cloud(means, scales, quats, opac, colors)
+
+
+def save_ply(path: str, cloud: GaussianCloud) -> None:
+    """Write a 3DGS PLY (binary little-endian), inverse activations."""
+    means = np.asarray(cloud.means, np.float32)
+    colors = np.asarray(cloud.colors, np.float32)
+    opac = np.clip(np.asarray(cloud.opacities, np.float32), 1e-6, 1 - 1e-6)
+    scales = np.maximum(np.asarray(cloud.scales, np.float32), 1e-12)
+    quats = np.asarray(cloud.quats, np.float32)
+    f_dc = (colors - 0.5) / SH_C0
+    logit = np.log(opac / (1 - opac))
+    rec = np.concatenate([means, f_dc, logit[:, None], np.log(scales),
+                          quats], -1).astype("<f4")
+    n = len(rec)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property float {p}" for p in _PLY_PROPS]
+    header += ["end_header", ""]
+    with open(path, "wb") as f:
+        f.write("\n".join(header).encode("ascii"))
+        f.write(rec.tobytes())
+
+
+def _read_ply_vertices(path: str):
+    """Minimal PLY vertex reader: float32 properties only (what 3DGS
+    exports use). A native C++ fast path hooks in here when built."""
+    try:
+        from ..native import loader as _native
+        if _native.available():
+            return _native.read_ply(path)
+    except ImportError:
+        pass
+    with open(path, "rb") as f:
+        props: list[str] = []
+        n = 0
+        fmt = None
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            elif line.startswith("element") and n:
+                raise ValueError("non-vertex elements after vertices "
+                                 "unsupported before end_header")
+            elif line.startswith("property") and n:
+                kind, name = line.split()[1], line.split()[-1]
+                if kind != "float":
+                    raise ValueError(f"non-float property {name}")
+                props.append(name)
+            elif line == "end_header":
+                break
+            elif line == "":
+                raise ValueError("unexpected EOF in PLY header")
+        if fmt == "binary_little_endian":
+            data = np.frombuffer(f.read(4 * n * len(props)), "<f4")
+            data = data.reshape(n, len(props)).astype(np.float32)
+        elif fmt == "ascii":
+            data = np.loadtxt(f, dtype=np.float32, max_rows=n)
+            data = data.reshape(n, len(props))
+        else:
+            raise ValueError(f"unsupported PLY format {fmt}")
+    return props, data

@@ -1,0 +1,176 @@
+"""Multi-chip rendering via jax.sharding Mesh + shard_map.
+
+The reference is strictly single-GPU (SURVEY.md §2.5); this module is the
+framework's scale-out path, designed around ICI collectives rather than any
+host-side networking:
+
+* **Splat-parallel projection** ("tensor-parallel" flavor): the splat cloud
+  is sharded across devices, each projects its shard, and the projected
+  records are `all_gather`ed over the mesh (one ICI ring pass) — projection
+  FLOPs scale 1/D.
+* **Tile-parallel compositing/raster** ("data/spatial-parallel" flavor): the
+  framebuffer is sharded into row bands, each device bins + composites only
+  splats intersecting its band. No communication after the gather — tile
+  work is embarrassingly parallel.
+
+The same recipe shards the triangle raster path (row-band framebuffer,
+replicated geometry). All functions run unmodified on a virtual CPU mesh
+(tests) and a real TPU slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.resources import Framebuffer
+from ..models.mesh import Mesh as GeoMesh
+from ..ops import gs as gs_ops
+from ..ops.gs import ProjectedSplats
+from ..utils.logging import scoped
+
+_log = scoped("parallel")
+
+
+def make_device_mesh(n_devices: int | None = None,
+                     axis: str = "d") -> Mesh:
+    """1-D device mesh over the first n devices (default: all)."""
+    n = n_devices or len(jax.devices())
+    return jax.make_mesh((n,), (axis,))
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
+                             mesh: Mesh, background=(0.0, 0.0, 0.0),
+                             interpret: bool = False) -> jnp.ndarray:
+    """Sharded GaussianCloud render → (height, width, 3) on the mesh.
+
+    Splats must be divisible by mesh size (pad the cloud if needed); the
+    framebuffer row-band split requires padded height divisible by
+    D*TILE_H.
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    nty_total = _pad_to(height, gs_ops.TILE_H) // gs_ops.TILE_H
+    nty_total = _pad_to(nty_total, d)
+    nty_local = nty_total // d
+    band_px = nty_local * gs_ops.TILE_H
+    ntx = _pad_to(width, gs_ops.TILE_W) // gs_ops.TILE_W
+    n = cloud.num_splats
+    if n % d:
+        raise ValueError(f"splat count {n} not divisible by mesh size {d}")
+
+    cap_pairs = _pad_to(n * gs_ops.KX * gs_ops.KY
+                        + nty_local * ntx * gs_ops.CHUNK, gs_ops.CHUNK)
+
+    def local_render(means, scales, quats, opac, colors):
+        # --- splat-parallel projection + gather (ICI all_gather) ---
+        ps_local = gs_ops.project_gaussians(means, scales, quats, opac,
+                                            colors, view, proj,
+                                            width, height)
+        ps = ProjectedSplats(*(jax.lax.all_gather(f, axis, axis=0,
+                                                  tiled=True)
+                               for f in ps_local))
+        ps = gs_ops._sort_by_depth(ps)
+
+        # --- tile-parallel composite: this device's row band ---
+        band = jax.lax.axis_index(axis)
+        y0 = (band * band_px).astype(jnp.float32)
+        my = ps.mean2d[:, 1]
+        r = ps.radius.astype(jnp.float32)
+        in_band = (my + r > y0) & (my - r < y0 + band_px)
+        depth = jnp.where(in_band, ps.depth, jnp.inf)
+        ps = ps._replace(
+            depth=depth,
+            mean2d=ps.mean2d - jnp.stack([jnp.float32(0.0), y0]))
+
+        packed_idx, chunk_tile, chunk_first, visited, _ = \
+            gs_ops._bin_splats(ps, ntx, nty_local, cap_pairs)
+        records = gs_ops._pack_records(ps, packed_idx)
+        r_, g_, b_, t_ = gs_ops._composite_call(
+            records, chunk_tile, chunk_first, nty_local, ntx, interpret)
+        rgb = jnp.stack([r_, g_, b_], -1)[:band_px]
+        tr = t_[:band_px]
+        vis = visited.reshape(nty_local, ntx)
+        vis_px = jnp.repeat(jnp.repeat(vis, gs_ops.TILE_H, 0),
+                            gs_ops.TILE_W, 1)
+        bg = jnp.asarray(background, jnp.float32)
+        rgb = jnp.where(vis_px[..., None], rgb, 0.0)
+        tr = jnp.where(vis_px, tr, 1.0)
+        return rgb + tr[..., None] * bg                  # (band_px, Wp, 3)
+
+    spec_splat = P(axis)
+    out = jax.shard_map(
+        local_render, mesh=mesh,
+        in_specs=(spec_splat,) * 5,
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )(cloud.means, cloud.scales, cloud.quats, cloud.opacities, cloud.colors)
+    return out[:height, :width]
+
+
+def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
+                        width: int, height: int, mesh: Mesh,
+                        clear_color=(0.0, 0.0, 0.0, 1.0),
+                        clear_depth: float = 1.0,
+                        interpret: bool = False):
+    """Row-band-sharded triangle raster: geometry/uniforms replicated, each
+    device rasters + shades its band of the framebuffer. Returns
+    (color (H,W,4), depth (H,W))."""
+    from ..ops import raster as raster_ops
+
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    hp = _pad_to(height, raster_ops.TILE_H * d)
+    band_px = hp // d
+    wp = _pad_to(width, raster_ops.TILE_W)
+
+    def local_render(_token):
+        band = jax.lax.axis_index(axis)
+        y0 = (band * band_px).astype(jnp.float32)
+
+        clip, varyings = pipe.vertex_fn(geo.positions, geo.attributes,
+                                        uniforms)
+        # shift screen-space y by the band origin: adjust the viewport
+        # inside triangle setup by biasing the plane constants
+        setup, inv_w = raster_ops._triangle_setup(
+            clip, geo.indices, pipe.state, width, height)
+        # λ(px, py_global) = a·px + b·(py_local + y0) + c  →  c += b·y0
+        setup = setup.at[2].add(setup[1] * y0)     # c0 += b0*y0
+        setup = setup.at[5].add(setup[4] * y0)     # c1 += b1*y0
+        setup = setup.at[8].add(setup[7] * y0)     # cz += bz*y0
+
+        fb_local = Framebuffer(
+            color=jnp.broadcast_to(
+                jnp.asarray(clear_color, jnp.float32),
+                (band_px, wp, 4)).astype(jnp.float32),
+            depth=jnp.full((band_px, wp), clear_depth, jnp.float32),
+            width=width, height=height)
+
+        state = pipe.state
+        last_wins = not state.depth_test
+        # per-band y scissor is unnecessary: rows past the global height
+        # only exist in the last band and are cropped after the concat
+        gdepth, gtri, gl0, gl1 = raster_ops._raster_call(
+            setup, fb_local.depth, width, band_px,
+            depth_test=state.depth_test, last_wins=last_wins,
+            interpret=interpret,
+            less_equal=state.depth_compare.name == "LESS_EQUAL")
+        out_fb = raster_ops._shade(pipe, fb_local, gdepth, gtri, gl0, gl1,
+                                   varyings, geo.indices, inv_w, resources)
+        return out_fb.color, out_fb.depth
+
+    token = jnp.zeros((d,), jnp.float32)
+    color, depth = jax.shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis, None, None), P(axis, None)),
+        check_vma=False,
+    )(token)
+    return color[:height, :width], depth[:height, :width]

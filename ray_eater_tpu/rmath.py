@@ -226,6 +226,37 @@ def look_at(eye: Array, center: Array, world_up: Array = None) -> Array:
     return jnp.concatenate([top, bottom], axis=0)
 
 
+def look_at_zforward(eye: Array, center: Array,
+                     world_up: Array = None) -> Array:
+    """*Correct* right-handed view matrix: rows (right, up, +forward) with
+    translation ``-R @ eye`` — camera-forward maps to **+z_view = distance
+    in front**, so with :func:`perspective` (``w_clip = +z_view``) depth
+    increases with distance and LESS keeps the nearest fragment.
+
+    Rationale: the reference's ``lookAt`` (reproduced bit-exactly as
+    :func:`look_at`) is a *mirrored* transform — its depth row evaluates to
+    ``const − distance``, so its renderer resolves overlaps far-over-near (a
+    latent bug preserved there for image parity). New content — notably the
+    3DGS pipeline, which needs true view depth for sorting and culling —
+    should use this function.
+    """
+    if world_up is None:
+        world_up = jnp.asarray(GLOBAL_UP, jnp.float32)
+    eye = jnp.asarray(eye, jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+    world_up = jnp.asarray(world_up, jnp.float32)
+
+    z = norm(sub(center, eye))       # forward
+    x = norm(cross(z, world_up))     # right
+    y = norm(cross(x, z))            # up
+
+    rot3 = jnp.stack([x, y, z])
+    t = -rot3 @ eye
+    top = jnp.concatenate([rot3, t[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def perspective(fov, aspect, near, far) -> Array:
     """Vulkan-style projection, exact reference layout (math.zig:316-326).
 

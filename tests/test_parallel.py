@@ -1,0 +1,98 @@
+"""Multi-device sharded rendering on the 8-device virtual CPU mesh:
+sharded outputs must match the single-device path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ray_eater_tpu as re
+from ray_eater_tpu import rmath
+from ray_eater_tpu.models.gaussians import random_cloud
+from ray_eater_tpu.ops.gs import render_gaussians
+from ray_eater_tpu.parallel.sharded import (make_device_mesh,
+                                            render_gaussians_sharded,
+                                            render_mesh_sharded)
+
+W, H = 256, 128
+
+
+def camera():
+    view = rmath.look_at_zforward(rmath.vec(0.0, 0.6, -2.5),
+                                  rmath.vec(0.0, 0.0, 0.0))
+    proj = rmath.perspective(rmath.radians(60.0), W / H, 0.1, 30.0)
+    return view, proj
+
+
+def test_mesh_has_8_devices():
+    mesh = make_device_mesh()
+    assert mesh.shape["d"] == 8
+
+
+def test_gaussians_sharded_matches_single():
+    view, proj = camera()
+    cloud = random_cloud(512, seed=11, extent=0.8,
+                         scale_range=(0.02, 0.06))
+    single = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                         (0.1, 0.1, 0.1), interpret=True))
+    mesh = make_device_mesh()
+    sharded = np.asarray(render_gaussians_sharded(
+        cloud, view, proj, W, H, mesh, (0.1, 0.1, 0.1), interpret=True))
+    assert sharded.shape == single.shape
+    err = np.abs(sharded - single)
+    # identical math, different reduction grouping → tiny fp drift only
+    assert err.max() < 1e-4, err.max()
+
+
+def test_gaussians_sharded_rejects_indivisible():
+    view, proj = camera()
+    cloud = random_cloud(513, seed=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        render_gaussians_sharded(cloud, view, proj, W, H,
+                                 make_device_mesh(), interpret=True)
+
+
+def test_raster_sharded_matches_single():
+    mesh_dev = make_device_mesh()
+    geo = re.two_planes()
+    uni = {
+        "model": rmath.rotate_y(rmath.identity(), 0.4),
+        "view": rmath.look_at(rmath.vec(2., 2., 2.), rmath.vec(0., 0., 0.)),
+        "projection": rmath.perspective(rmath.radians(45.0), W / H, 0.1,
+                                        30.0),
+    }
+
+    def frag(v, r):
+        c = v["color"]
+        return jnp.concatenate(
+            [c, jnp.ones((*c.shape[:-1], 1), jnp.float32)], -1)
+
+    pipe = re.GraphicsPipeline(vertex_fn=re.shaders.mvp_vertex,
+                               fragment_fn=frag)
+    fb = re.render_mesh(pipe, geo, uni, {}, re.create_framebuffer(W, H),
+                        interpret=True)
+    single_c = np.asarray(fb.color)[:H, :W]
+    single_d = np.asarray(fb.depth)[:H, :W]
+
+    color, depth = render_mesh_sharded(pipe, geo, uni, {}, W, H, mesh_dev,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(color), single_c, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depth), single_d, atol=2e-5)
+
+
+def test_sharded_jit_compiles_once():
+    view, proj = camera()
+    cloud = random_cloud(512, seed=3)
+    mesh = make_device_mesh()
+
+    @jax.jit
+    def step(means, scales, quats, opac, colors, v, p):
+        from ray_eater_tpu.models.gaussians import GaussianCloud
+        c = GaussianCloud(means=means, scales=scales, quats=quats,
+                          opacities=opac, colors=colors)
+        return render_gaussians_sharded(c, v, p, W, H, mesh,
+                                        interpret=True)
+
+    img = step(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
+               cloud.colors, view, proj)
+    assert np.isfinite(np.asarray(img)).all()
