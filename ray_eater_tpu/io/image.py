@@ -33,7 +33,17 @@ def linear_to_srgb(c):
 
 
 def load_image(path: str) -> np.ndarray:
-    """Decode an image file to ``(H, W, 4)`` uint8 RGBA."""
+    """Decode an image file to ``(H, W, 4)`` uint8 RGBA (native C++ PNG
+    decoder when built; PIL otherwise)."""
+    if path.lower().endswith(".png"):
+        try:
+            from ..native import loader as native
+            if native.available():
+                with open(path, "rb") as f:
+                    arr = native.png_decode(f.read())
+                return _to_rgba(arr)
+        except Exception as e:
+            _log.debug("native decode fell back (%s)", e)
     from PIL import Image
     with Image.open(path) as im:
         arr = np.asarray(im.convert("RGBA"), np.uint8)
@@ -41,8 +51,30 @@ def load_image(path: str) -> np.ndarray:
     return arr
 
 
+def _to_rgba(arr: np.ndarray) -> np.ndarray:
+    if arr.shape[-1] == 4:
+        return arr
+    if arr.shape[-1] == 3:
+        a = np.full((*arr.shape[:2], 1), 255, np.uint8)
+        return np.concatenate([arr, a], -1)
+    if arr.shape[-1] == 1:
+        return np.concatenate([arr] * 3 + [np.full_like(arr, 255)], -1)
+    rgb = np.repeat(arr[..., :1], 3, -1)    # gray+alpha
+    return np.concatenate([rgb, arr[..., 1:2]], -1)
+
+
 def save_png(path: str, rgba_u8: np.ndarray) -> None:
     """Encode ``(H, W, 3|4)`` uint8 to a PNG file (the 'present to disk'
-    egress replacing swapchain present, queue.zig:77-91)."""
+    egress replacing swapchain present, queue.zig:77-91). Uses the native
+    C++ encoder when built — fast enough for a 60 FPS present stream."""
+    rgba_u8 = np.ascontiguousarray(rgba_u8)
+    try:
+        from ..native import loader as native
+        if native.available():
+            with open(path, "wb") as f:
+                f.write(native.png_encode(rgba_u8))
+            return
+    except Exception as e:
+        _log.debug("native encode fell back (%s)", e)
     from PIL import Image
-    Image.fromarray(np.ascontiguousarray(rgba_u8)).save(path)
+    Image.fromarray(rgba_u8).save(path)
