@@ -48,8 +48,9 @@ KY = 4           # max vertical tile span per splat
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 
-# record rows (lanes = splats)
-_MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2, _VAL = range(10)
+# record columns (records are (N, 16) rows — one contiguous 64-byte row
+# per splat so every binning gather is a row DMA, not 10 scalar gathers)
+_MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2, _VAL, _RAD, _DEPTH = range(12)
 _ROWS = 16
 
 
@@ -87,18 +88,35 @@ def project_gaussians(means, scales, quats, opacities, colors,
     """EWA splat projection under this framework's camera conventions
     (rmath.look_at/perspective: visible geometry at +z_view, y-down NDC)."""
     n = means.shape[0]
-    R = quat_to_rotmat(quats)                                   # (N,3,3)
-    S = scales[..., None, :] * jnp.eye(3, dtype=jnp.float32)    # (N,3,3)
-    M = jnp.matmul(R, S, preferred_element_type=jnp.float32)
-    cov3d = jnp.matmul(M, jnp.swapaxes(M, -1, -2),
-                       preferred_element_type=jnp.float32)      # (N,3,3)
+    # Fully scalar-expanded covariance math: (N,) vector ops only. The
+    # (N,3,3)-batched einsum formulation compiles pathologically on TPU
+    # (XLA unrolls the tiny contractions; ~5 min compile at 1M splats) and
+    # runs on lane-starved shapes; the expansion compiles in seconds and is
+    # pure VPU.
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    sx, sy, sz = scales[:, 0], scales[:, 1], scales[:, 2]
+    # rotation columns scaled: M[i][j] = R[i][j] * s[j]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    m = [[r00 * sx, r01 * sy, r02 * sz],
+         [r10 * sx, r11 * sy, r12 * sz],
+         [r20 * sx, r21 * sy, r22 * sz]]
 
     # view transform
     Rv, tv = view[:3, :3], view[:3, 3]
     pv = means @ Rv.T + tv                                      # (N,3)
     zv = pv[:, 2]
-    cov_v = jnp.einsum("ij,njk,lk->nil", Rv, cov3d, Rv,
-                       preferred_element_type=jnp.float32)
+    # B = Rv @ M  (rows 0..2); cov_view = B Bᵀ
+    b = [[sum(Rv[i, k] * m[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
 
     # perspective Jacobian of the screen mapping:
     #   x_s = (proj00 * x/z + 1) * W/2,  y_s = (proj11 * y/z + 1) * H/2
@@ -116,9 +134,14 @@ def project_gaussians(means, scales, quats, opacities, colors,
     j02 = -fx * txz * inv_z
     j11 = fy * inv_z
     j12 = -fy * tyz * inv_z
-    # cov2d = J Σv Jᵀ, J = [[j00, 0, j02], [0, j11, j12]]
-    c00, c01, c02 = cov_v[:, 0, 0], cov_v[:, 0, 1], cov_v[:, 0, 2]
-    c11, c12, c22 = cov_v[:, 1, 1], cov_v[:, 1, 2], cov_v[:, 2, 2]
+    # cov2d = J Σv Jᵀ, J = [[j00, 0, j02], [0, j11, j12]],
+    # Σv = B Bᵀ expanded component-wise
+    c00 = b[0][0] ** 2 + b[0][1] ** 2 + b[0][2] ** 2
+    c01 = b[0][0] * b[1][0] + b[0][1] * b[1][1] + b[0][2] * b[1][2]
+    c02 = b[0][0] * b[2][0] + b[0][1] * b[2][1] + b[0][2] * b[2][2]
+    c11 = b[1][0] ** 2 + b[1][1] ** 2 + b[1][2] ** 2
+    c12 = b[1][0] * b[2][0] + b[1][1] * b[2][1] + b[1][2] * b[2][2]
+    c22 = b[2][0] ** 2 + b[2][1] ** 2 + b[2][2] ** 2
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + 0.3
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + 0.3
@@ -149,21 +172,42 @@ def project_gaussians(means, scales, quats, opacities, colors,
         radius=radius.astype(jnp.int32), color=colors, opacity=opacities)
 
 
+def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
+    """(N, 16) f32 splat records, one contiguous row per splat."""
+    n = ps.depth.shape[0]
+    valid = jnp.isfinite(ps.depth).astype(jnp.float32)
+    cols = jnp.stack([
+        ps.mean2d[:, 0], ps.mean2d[:, 1],
+        ps.conic[:, 0], ps.conic[:, 1], ps.conic[:, 2],
+        ps.opacity, ps.color[:, 0], ps.color[:, 1], ps.color[:, 2],
+        valid, ps.radius.astype(jnp.float32),
+        jnp.where(valid > 0.5, ps.depth, jnp.inf),
+    ], -1)                                                  # (N, 12)
+    pad = jnp.zeros((n, _ROWS - cols.shape[1]), jnp.float32)
+    return jnp.concatenate([cols, pad], -1)
+
+
 def _sort_by_depth(ps: ProjectedSplats) -> ProjectedSplats:
     order = jnp.argsort(ps.depth)         # culled (inf) sink to the back
     g = lambda x: jnp.take(x, order, axis=0)
     return ProjectedSplats(*(g(f) for f in ps))
 
 
-def _bin_splats(ps: ProjectedSplats, ntx: int, nty: int, cap_pairs: int):
-    """Chunk-aligned tile lists. Returns (packed_idx (CAP,) int32 splat
-    indices with -1 nulls, chunk_tile (CAPC,) int32 with ntiles sentinel,
-    chunk_first (CAPC,) int32, overflow (scalar))."""
-    n = ps.depth.shape[0]
+def _sort_records_by_depth(records: jnp.ndarray) -> jnp.ndarray:
+    order = jnp.argsort(records[:, _DEPTH])
+    return jnp.take(records, order, axis=0)       # one row-gather
+
+
+def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int):
+    """Chunk-aligned tile lists from depth-sorted (N, 16) records.
+    Returns (packed_idx (CAP,) int32 splat indices with -1 nulls,
+    chunk_tile (CAPC,) int32 with ntiles sentinel, chunk_first (CAPC,)
+    int32, visited (ntiles,) bool, overflow (scalar))."""
+    n = records.shape[0]
     ntiles = ntx * nty
-    mx, my = ps.mean2d[:, 0], ps.mean2d[:, 1]
-    r = ps.radius.astype(jnp.float32)
-    valid = jnp.isfinite(ps.depth)
+    mx, my = records[:, _MX], records[:, _MY]
+    r = records[:, _RAD]
+    valid = records[:, _VAL] > 0.5
 
     tx0 = jnp.floor((mx - r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
     tx1 = jnp.floor((mx + r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
@@ -179,14 +223,13 @@ def _bin_splats(ps: ProjectedSplats, ntx: int, nty: int, cap_pairs: int):
             ok = valid & (ty <= ty1) & (tx <= tx1)
             tids.append(jnp.where(ok, ty * ntx + tx, ntiles))
     tid_flat = jnp.stack(tids, -1).reshape(-1)              # (N*K,)
-    splat_flat = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None],
-        (n, KX * KY)).reshape(-1)
+    m = tid_flat.shape[0]
 
-    # stable sort by tile keeps depth order within each tile
-    perm = jnp.argsort(tid_flat, stable=True)
-    sorted_tid = tid_flat[perm]
-    sorted_splat = splat_flat[perm]
+    # stable sort by tile keeps depth order within each tile; carrying the
+    # iota through the sort yields the permutation without an extra gather
+    sorted_tid, perm = jax.lax.sort(
+        (tid_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
+        is_stable=True)
 
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tid, tvec, side="left")  # (ntiles+1,)
@@ -196,24 +239,25 @@ def _bin_splats(ps: ProjectedSplats, ntx: int, nty: int, cap_pairs: int):
                                  jnp.cumsum(nchunks).astype(jnp.int32)])
     total_chunks = chunk_off[-1]
 
-    # chunk-aligned destination of every sorted pair
-    m = sorted_tid.shape[0]
-    pos = jnp.arange(m, dtype=jnp.int32)
-    tid_safe = jnp.minimum(sorted_tid, ntiles - 1)
-    rank = pos - start[tid_safe]
-    dst = chunk_off[tid_safe] * CHUNK + rank
-    dst = jnp.where(sorted_tid < ntiles, dst, cap_pairs)     # drop invalid
-    packed_idx = jnp.full((cap_pairs,), -1, jnp.int32)
-    packed_idx = packed_idx.at[dst].set(sorted_splat, mode="drop")
-
+    # chunk maps + gather-based packing (scatter-free): destination slot d
+    # in chunk c of tile t reads sorted pair start[t] + (d - dst_base(t,c))
     capc = cap_pairs // CHUNK
     cid = jnp.arange(capc, dtype=jnp.int32)
     owner = jnp.searchsorted(chunk_off, cid, side="right").astype(
         jnp.int32) - 1
     owner = jnp.clip(owner, 0, ntiles - 1)
     chunk_tile = jnp.where(cid < total_chunks, owner, ntiles)
-    chunk_first = (cid == chunk_off[jnp.minimum(owner, ntiles - 1)]
-                   ).astype(jnp.int32)
+    chunk_first = (cid == chunk_off[owner]).astype(jnp.int32)
+    src_base = start[owner] + (cid - chunk_off[owner]) * CHUNK  # (capc,)
+    src_end = start[owner + 1]                                  # (capc,)
+
+    lane = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), capc)   # (CAP,)
+    src = jnp.repeat(src_base, CHUNK) + lane
+    live = ((src < jnp.repeat(src_end, CHUNK))
+            & jnp.repeat(cid < total_chunks, CHUNK))
+    # pair index → splat index is arithmetic: pairs were emitted K per splat
+    pair = jnp.take(perm, jnp.where(live, src, 0))              # monotonic
+    packed_idx = jnp.where(live, pair // (KX * KY), -1)
     overflow = jnp.maximum(total_chunks - capc, 0)
     # a tile is visited iff its FIRST chunk fits under the cap — tiles whose
     # chunks overflowed must fall back to background, not garbage
@@ -221,25 +265,29 @@ def _bin_splats(ps: ProjectedSplats, ntx: int, nty: int, cap_pairs: int):
     return packed_idx, chunk_tile, chunk_first, visited, overflow
 
 
-def _pack_records(ps: ProjectedSplats, packed_idx: jnp.ndarray):
-    """Gather splat records into the chunk-aligned layout: (16, CAP) f32,
-    rows = features, lanes = splats; nulls have VAL=0."""
+def _pack_records(records: jnp.ndarray, packed_idx: jnp.ndarray):
+    """One row-gather of (N, 16) records into the chunk-aligned (CAP, 16)
+    layout; null entries (-1) get VAL=0 rows."""
     safe = jnp.maximum(packed_idx, 0)
-    g = lambda x: jnp.take(x, safe, axis=0)
-    live = (packed_idx >= 0).astype(jnp.float32)
-    rows = jnp.stack([
-        g(ps.mean2d[:, 0]), g(ps.mean2d[:, 1]),
-        g(ps.conic[:, 0]), g(ps.conic[:, 1]), g(ps.conic[:, 2]),
-        g(ps.opacity), g(ps.color[:, 0]), g(ps.color[:, 1]),
-        g(ps.color[:, 2]), live,
-    ])                                                      # (10, CAP)
-    rows = rows * live[None, :]
-    pad = jnp.zeros((_ROWS - rows.shape[0], rows.shape[1]), jnp.float32)
-    return jnp.concatenate([rows, pad], 0)
+    packed = jnp.take(records, safe, axis=0)                # (CAP, 16)
+    live = (packed_idx >= 0)[:, None]
+    return jnp.where(live, packed, 0.0)
+
+
+_PIX = TILE_H * TILE_W          # pixels per tile, flattened (2048)
 
 
 def _composite_kernel(chunk_tile_ref, chunk_first_ref, rec_ref,
                       r_ref, g_ref, b_ref, t_ref, *, ntx, ntiles):
+    """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
+    pixel block — no per-splat scalar loop.
+
+    Front-to-back alpha compositing is a linear recurrence
+    ``T_{i+1} = T_i (1-α_i)``; its prefix is computed in closed form as
+    ``exp(L @ log(1-α))`` with L strictly-lower-triangular — one (C,C) x
+    (C,P) MXU matmul — so all C splats of the chunk composite in parallel.
+    The color accumulation is a second MXU contraction over the splat axis.
+    """
     ci = pl.program_id(0)
     tile = chunk_tile_ref[ci]
 
@@ -247,69 +295,87 @@ def _composite_kernel(chunk_tile_ref, chunk_first_ref, rec_ref,
     def _():
         @pl.when(chunk_first_ref[ci] == 1)
         def _init():
-            r_ref[:] = jnp.zeros_like(r_ref[:])
-            g_ref[:] = jnp.zeros_like(g_ref[:])
-            b_ref[:] = jnp.zeros_like(b_ref[:])
-            t_ref[:] = jnp.ones_like(t_ref[:])
+            r_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
+            g_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
+            b_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
+            t_ref[0] = jnp.ones((1, _PIX), jnp.float32)
 
         ty0 = (tile // ntx) * TILE_H
         tx0 = (tile % ntx) * TILE_W
-        py = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              + ty0).astype(jnp.float32) + 0.5
-        px = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              + tx0).astype(jnp.float32) + 0.5
+        # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, _PIX), 1)
+        px = (jax.lax.bitwise_and(i, TILE_W - 1) + tx0
+              ).astype(jnp.float32) + 0.5
+        py = (jax.lax.shift_right_logical(i, 7) + ty0
+              ).astype(jnp.float32) + 0.5
 
-        def fold(i, _):
-            live = rec_ref[_VAL, i]
+        col = lambda c: rec_ref[:, c:c + 1]             # (C, 1)
+        dx = px - col(_MX)                              # (C, P)
+        dy = py - col(_MY)
+        power = (-0.5 * (col(_CA) * dx * dx + col(_CC) * dy * dy)
+                 - col(_CB) * dx * dy)
+        alpha = col(_OP) * jnp.exp(power)
+        alpha = jnp.minimum(alpha, _ALPHA_MAX)
+        live = col(_VAL) > 0.5
+        alpha = jnp.where(live & (alpha >= _ALPHA_MIN), alpha, 0.0)
 
-            @pl.when(live > 0.5)
-            def _():
-                dx = px - rec_ref[_MX, i]
-                dy = py - rec_ref[_MY, i]
-                ca = rec_ref[_CA, i]
-                cb = rec_ref[_CB, i]
-                cc = rec_ref[_CC, i]
-                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                alpha = rec_ref[_OP, i] * jnp.exp(power)
-                alpha = jnp.minimum(alpha, _ALPHA_MAX)
-                alpha = jnp.where(alpha < _ALPHA_MIN, 0.0, alpha)
-                t_cur = t_ref[:]
-                w = alpha * t_cur                       # front-to-back
-                r_ref[:] = r_ref[:] + w * rec_ref[_CR, i]
-                g_ref[:] = g_ref[:] + w * rec_ref[_CG, i]
-                b_ref[:] = b_ref[:] + w * rec_ref[_CB2, i]
-                t_ref[:] = t_cur * (1.0 - alpha)
+        log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))     # (C, P)
+        # strictly-lower-triangular ones → exclusive prefix over splats
+        ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        cj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        ltri = (ri > cj).astype(jnp.float32)
+        prefix = jax.lax.dot_general(
+            ltri, log_om, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (C, P)
+        t_in = t_ref[0]                                      # (1, P)
+        w = alpha * jnp.exp(prefix) * t_in                   # (C, P)
 
-        jax.lax.fori_loop(0, CHUNK, fold, None)
+        # rgb accumulation: contract the splat axis on the MXU
+        rgb = jax.lax.dot_general(
+            rec_ref[:, _CR:_CB2 + 1], w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (3, P)
+        r_ref[0] = r_ref[0] + rgb[0:1]
+        g_ref[0] = g_ref[0] + rgb[1:2]
+        b_ref[0] = b_ref[0] + rgb[2:3]
+        t_ref[0] = t_in * jnp.exp(
+            jnp.sum(log_om, axis=0, keepdims=True))
 
 
 def _composite_call(records, chunk_tile, chunk_first, nty, ntx, interpret):
+    """Returns 4 tile-flattened planes (ntiles+1, 2048): r, g, b, T.
+    Row ``ntiles`` is the sentinel dump for unused chunks; use
+    :func:`_untile` to get image-shaped planes."""
     ntiles = nty * ntx
     capc = chunk_tile.shape[0]
-    hp = (nty + 1) * TILE_H          # one extra tile row = sentinel target
-    wp = ntx * TILE_W
     kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles)
 
     def out_map(ci, ct, cf):
-        t = jnp.minimum(ct[ci], ntiles)       # sentinel → extra row, col 0
-        return (t // ntx, t % ntx)
+        return (jnp.minimum(ct[ci], ntiles), 0, 0)  # sentinel → extra row
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(capc,),
         in_specs=[
-            pl.BlockSpec((_ROWS, CHUNK), lambda ci, ct, cf: (0, ci),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK, _ROWS), lambda ci, ct, cf: (ci, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), out_map,
+            pl.BlockSpec((1, 1, _PIX), out_map,
                          memory_space=pltpu.VMEM)] * 4,
     )
-    out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 4
+    out_shape = [jax.ShapeDtypeStruct((ntiles + 1, 1, _PIX),
+                                      jnp.float32)] * 4
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(chunk_tile, chunk_first, records)
+
+
+def _untile(plane: jnp.ndarray, nty: int, ntx: int) -> jnp.ndarray:
+    """(ntiles+1, 1, 2048) tile-flattened → (nty*16, ntx*128) image plane
+    (one cheap XLA transpose in HBM)."""
+    t = plane[:nty * ntx].reshape(nty, ntx, TILE_H, TILE_W)
+    return t.transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * TILE_W)
 
 
 def render_gaussians(cloud, view, proj, width: int, height: int,
@@ -327,7 +393,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
                            cloud.opacities, cloud.colors, view, proj,
                            width, height)
-    ps = _sort_by_depth(ps)
+    records = _sort_records_by_depth(_make_records(ps))
 
     ntx = _pad_to(width, TILE_W) // TILE_W
     nty = _pad_to(height, TILE_H) // TILE_H
@@ -339,18 +405,18 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         cap_pairs = max(pairs_cap_factor * n, 4 * CHUNK) + ntiles * CHUNK
     cap_pairs = _pad_to(cap_pairs, CHUNK)
     packed_idx, chunk_tile, chunk_first, visited, overflow = _bin_splats(
-        ps, ntx, nty, cap_pairs)
-    records = _pack_records(ps, packed_idx)
+        records, ntx, nty, cap_pairs)
+    packed = _pack_records(records, packed_idx)
 
-    r, g, b, t = _composite_call(records, chunk_tile, chunk_first,
+    r, g, b, t = _composite_call(packed, chunk_tile, chunk_first,
                                  nty, ntx, interpret)
-    rgb = jnp.stack([r, g, b], -1)[:nty * TILE_H]
-    tr = t[:nty * TILE_H]
-    # tiles no chunk ever visited keep garbage — mask them to background
-    vis = visited.reshape(nty, ntx)
-    vis_px = jnp.repeat(jnp.repeat(vis, TILE_H, 0), TILE_W, 1)
+    # tiles no chunk ever visited keep garbage — mask (in tile-flat layout,
+    # one row per tile) before untiling
+    vis = jnp.concatenate([visited, jnp.zeros((1,), bool)])[:, None, None]
+    rgbt = [jnp.where(vis, p, 0.0 if i < 3 else 1.0)
+            for i, p in enumerate((r, g, b, t))]
+    planes = [_untile(p, nty, ntx) for p in rgbt]
+    rgb = jnp.stack(planes[:3], -1)
     bg = jnp.asarray(background, jnp.float32)
-    rgb = jnp.where(vis_px[..., None], rgb, 0.0)
-    tr = jnp.where(vis_px, tr, 1.0)
-    img = rgb + tr[..., None] * bg
+    img = rgb + planes[3][..., None] * bg
     return img[:height, :width]

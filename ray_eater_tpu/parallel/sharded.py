@@ -29,7 +29,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.resources import Framebuffer
 from ..models.mesh import Mesh as GeoMesh
 from ..ops import gs as gs_ops
-from ..ops.gs import ProjectedSplats
 from ..utils.logging import scoped
 
 _log = scoped("parallel")
@@ -70,40 +69,38 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                         + nty_local * ntx * gs_ops.CHUNK, gs_ops.CHUNK)
 
     def local_render(means, scales, quats, opac, colors):
-        # --- splat-parallel projection + gather (ICI all_gather) ---
+        # --- splat-parallel projection + gather (one ICI all_gather of the
+        # packed record matrix) ---
         ps_local = gs_ops.project_gaussians(means, scales, quats, opac,
                                             colors, view, proj,
                                             width, height)
-        ps = ProjectedSplats(*(jax.lax.all_gather(f, axis, axis=0,
-                                                  tiled=True)
-                               for f in ps_local))
-        ps = gs_ops._sort_by_depth(ps)
+        rec_local = gs_ops._make_records(ps_local)
+        records = jax.lax.all_gather(rec_local, axis, axis=0, tiled=True)
+        records = gs_ops._sort_records_by_depth(records)
 
         # --- tile-parallel composite: this device's row band ---
         band = jax.lax.axis_index(axis)
         y0 = (band * band_px).astype(jnp.float32)
-        my = ps.mean2d[:, 1]
-        r = ps.radius.astype(jnp.float32)
+        my = records[:, gs_ops._MY]
+        r = records[:, gs_ops._RAD]
         in_band = (my + r > y0) & (my - r < y0 + band_px)
-        depth = jnp.where(in_band, ps.depth, jnp.inf)
-        ps = ps._replace(
-            depth=depth,
-            mean2d=ps.mean2d - jnp.stack([jnp.float32(0.0), y0]))
+        live = records[:, gs_ops._VAL] * in_band.astype(jnp.float32)
+        records = records.at[:, gs_ops._VAL].set(live)
+        records = records.at[:, gs_ops._MY].add(-y0)
 
         packed_idx, chunk_tile, chunk_first, visited, _ = \
-            gs_ops._bin_splats(ps, ntx, nty_local, cap_pairs)
-        records = gs_ops._pack_records(ps, packed_idx)
+            gs_ops._bin_splats(records, ntx, nty_local, cap_pairs)
+        packed = gs_ops._pack_records(records, packed_idx)
         r_, g_, b_, t_ = gs_ops._composite_call(
-            records, chunk_tile, chunk_first, nty_local, ntx, interpret)
-        rgb = jnp.stack([r_, g_, b_], -1)[:band_px]
-        tr = t_[:band_px]
-        vis = visited.reshape(nty_local, ntx)
-        vis_px = jnp.repeat(jnp.repeat(vis, gs_ops.TILE_H, 0),
-                            gs_ops.TILE_W, 1)
+            packed, chunk_tile, chunk_first, nty_local, ntx, interpret)
+        vis = jnp.concatenate([visited, jnp.zeros((1,), bool)]
+                              )[:, None, None]
+        rgbt = [jnp.where(vis, p, 0.0 if i < 3 else 1.0)
+                for i, p in enumerate((r_, g_, b_, t_))]
+        planes = [gs_ops._untile(p, nty_local, ntx) for p in rgbt]
+        rgb = jnp.stack(planes[:3], -1)
         bg = jnp.asarray(background, jnp.float32)
-        rgb = jnp.where(vis_px[..., None], rgb, 0.0)
-        tr = jnp.where(vis_px, tr, 1.0)
-        return rgb + tr[..., None] * bg                  # (band_px, Wp, 3)
+        return rgb + planes[3][..., None] * bg           # (band_px, Wp, 3)
 
     spec_splat = P(axis)
     out = jax.shard_map(

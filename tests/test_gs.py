@@ -143,17 +143,17 @@ def test_pairs_cap_overflow_is_graceful():
     cloud = random_cloud(200, seed=2, extent=0.5, scale_range=(0.05, 0.15))
     ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
                            cloud.opacities, cloud.colors, view, proj, W, H)
-    ps = gs._sort_by_depth(ps)
+    records = gs._sort_records_by_depth(gs._make_records(ps))
     ntx, nty = 2, 6
     cap = 2 * gs.CHUNK
-    packed_idx, ct, cf, visited, overflow = gs._bin_splats(ps, ntx, nty, cap)
+    packed_idx, ct, cf, visited, overflow = gs._bin_splats(records, ntx,
+                                                           nty, cap)
     assert int(overflow) > 0
     assert int(np.asarray(visited).sum()) <= 2   # only capped chunks kept
-    rec = gs._pack_records(ps, packed_idx)
+    rec = gs._pack_records(records, packed_idx)
     r, g, b, t = gs._composite_call(rec, ct, cf, nty, ntx, True)
-    vis = np.repeat(np.repeat(np.asarray(visited).reshape(nty, ntx),
-                              gs.TILE_H, 0), gs.TILE_W, 1)
-    assert np.isfinite(np.asarray(r)[:nty * gs.TILE_H][vis]).all()
+    vis = np.asarray(visited)
+    assert np.isfinite(np.asarray(r)[:nty * ntx][vis]).all()
     # and the public API with a finite factor still renders finite images
     img = np.asarray(render_gaussians(cloud, view, proj, W, H,
                                       pairs_cap_factor=1, interpret=True))
