@@ -32,6 +32,11 @@ class ContextConfig:
     validation: bool = True
     #: Run Pallas kernels in interpreter mode (needed on CPU backends).
     interpret: bool | None = None
+    #: Persistent XLA compilation cache directory (SURVEY.md §5.4: the
+    #: checkpoint/resume analog — frame programs compile in minutes at 1M
+    #: splats; the cache makes subsequent launches instant). None disables;
+    #: default from $RAYEATER_COMPILE_CACHE or ~/.cache/rayeater_xla.
+    compile_cache_dir: str | None = "auto"
 
 
 class Context:
@@ -58,6 +63,23 @@ class Context:
         # Pallas interpret mode: required when not running on a real TPU.
         if self.config.interpret is None:
             self.config.interpret = self.device.platform != "tpu"
+        # persistent compilation cache (huge frame programs; see config)
+        cache = self.config.compile_cache_dir
+        if cache == "auto":
+            import os
+            cache = os.environ.get(
+                "RAYEATER_COMPILE_CACHE",
+                os.path.expanduser("~/.cache/rayeater_xla"))
+        if cache:
+            try:
+                import os
+                os.makedirs(cache, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 5.0)
+                _log_instance.info("compilation cache: %s", cache)
+            except Exception as e:   # cache is an optimization, never fatal
+                _log_instance.warning("compilation cache disabled: %s", e)
         #: jit cache: name -> compiled callable (the XLA-compilation-cache
         #: analog of SURVEY.md §5.4's suggested bake cache).
         self._programs: dict[Any, Callable] = {}

@@ -47,6 +47,7 @@ KX = 2           # max horizontal tile span per splat
 KY = 4           # max vertical tile span per splat
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
+_T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
 
 # record columns (records are (N, 16) rows — one contiguous 64-byte row
 # per splat so every binning gather is a row DMA, not 10 scalar gathers)
@@ -226,10 +227,14 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int):
     m = tid_flat.shape[0]
 
     # stable sort by tile keeps depth order within each tile; carrying the
-    # iota through the sort yields the permutation without an extra gather
+    # iota through the sort yields the permutation without an extra gather.
+    # int16 keys (tile counts stay < 32767 up to 8K resolution) halve the
+    # comparator bandwidth of the dominant sort.
+    key_dtype = jnp.int16 if ntiles + 1 < 32767 else jnp.int32
     sorted_tid, perm = jax.lax.sort(
-        (tid_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
-        is_stable=True)
+        (tid_flat.astype(key_dtype), jnp.arange(m, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    sorted_tid = sorted_tid.astype(jnp.int32)
 
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tid, tvec, side="left")  # (ntiles+1,)
@@ -278,7 +283,8 @@ _PIX = TILE_H * TILE_W          # pixels per tile, flattened (2048)
 
 
 def _composite_kernel(chunk_tile_ref, chunk_first_ref, rec_ref,
-                      r_ref, g_ref, b_ref, t_ref, *, ntx, ntiles):
+                      r_ref, g_ref, b_ref, t_ref, sat_ref, *,
+                      ntx, ntiles):
     """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
     pixel block — no per-splat scalar loop.
 
@@ -299,46 +305,60 @@ def _composite_kernel(chunk_tile_ref, chunk_first_ref, rec_ref,
             g_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
             b_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
             t_ref[0] = jnp.ones((1, _PIX), jnp.float32)
+            sat_ref[0] = 0
 
-        ty0 = (tile // ntx) * TILE_H
-        tx0 = (tile % ntx) * TILE_W
-        # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
-        i = jax.lax.broadcasted_iota(jnp.int32, (1, _PIX), 1)
-        px = (jax.lax.bitwise_and(i, TILE_W - 1) + tx0
-              ).astype(jnp.float32) + 0.5
-        py = (jax.lax.shift_right_logical(i, 7) + ty0
-              ).astype(jnp.float32) + 0.5
+        # early-out: once every pixel of the tile saturated (T < eps, the
+        # 3DGS termination rule), remaining chunks — typically most of a
+        # deep tile's list — cost one scalar SMEM read. The flag is set by
+        # the chunk body from the T it just computed.
+        @pl.when(sat_ref[0] == 0)
+        def _run():
+            _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
+                             tile, ntx)
 
-        col = lambda c: rec_ref[:, c:c + 1]             # (C, 1)
-        dx = px - col(_MX)                              # (C, P)
-        dy = py - col(_MY)
-        power = (-0.5 * (col(_CA) * dx * dx + col(_CC) * dy * dy)
-                 - col(_CB) * dx * dy)
-        alpha = col(_OP) * jnp.exp(power)
-        alpha = jnp.minimum(alpha, _ALPHA_MAX)
-        live = col(_VAL) > 0.5
-        alpha = jnp.where(live & (alpha >= _ALPHA_MIN), alpha, 0.0)
 
-        log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))     # (C, P)
-        # strictly-lower-triangular ones → exclusive prefix over splats
-        ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        cj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-        ltri = (ri > cj).astype(jnp.float32)
-        prefix = jax.lax.dot_general(
-            ltri, log_om, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (C, P)
-        t_in = t_ref[0]                                      # (1, P)
-        w = alpha * jnp.exp(prefix) * t_in                   # (C, P)
+def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
+                     ntx):
+    ty0 = (tile // ntx) * TILE_H
+    tx0 = (tile % ntx) * TILE_W
+    # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, _PIX), 1)
+    px = (jax.lax.bitwise_and(i, TILE_W - 1) + tx0
+          ).astype(jnp.float32) + 0.5
+    py = (jax.lax.shift_right_logical(i, 7) + ty0
+          ).astype(jnp.float32) + 0.5
 
-        # rgb accumulation: contract the splat axis on the MXU
-        rgb = jax.lax.dot_general(
-            rec_ref[:, _CR:_CB2 + 1], w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (3, P)
-        r_ref[0] = r_ref[0] + rgb[0:1]
-        g_ref[0] = g_ref[0] + rgb[1:2]
-        b_ref[0] = b_ref[0] + rgb[2:3]
-        t_ref[0] = t_in * jnp.exp(
-            jnp.sum(log_om, axis=0, keepdims=True))
+    col = lambda c: rec_ref[:, c:c + 1]             # (C, 1)
+    dx = px - col(_MX)                              # (C, P)
+    dy = py - col(_MY)
+    power = (-0.5 * (col(_CA) * dx * dx + col(_CC) * dy * dy)
+             - col(_CB) * dx * dy)
+    alpha = col(_OP) * jnp.exp(power)
+    alpha = jnp.minimum(alpha, _ALPHA_MAX)
+    live = col(_VAL) > 0.5
+    alpha = jnp.where(live & (alpha >= _ALPHA_MIN), alpha, 0.0)
+
+    log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))     # (C, P)
+    # strictly-lower-triangular ones → exclusive prefix over splats
+    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    ltri = (ri > cj).astype(jnp.float32)
+    prefix = jax.lax.dot_general(
+        ltri, log_om, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (C, P)
+    t_in = t_ref[0]                                      # (1, P)
+    w = alpha * jnp.exp(prefix) * t_in                   # (C, P)
+
+    # rgb accumulation: contract the splat axis on the MXU
+    rgb = jax.lax.dot_general(
+        rec_ref[:, _CR:_CB2 + 1], w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (3, P)
+    r_ref[0] = r_ref[0] + rgb[0:1]
+    g_ref[0] = g_ref[0] + rgb[1:2]
+    b_ref[0] = b_ref[0] + rgb[2:3]
+    t_new = t_in * jnp.exp(jnp.sum(log_om, axis=0, keepdims=True))
+    t_ref[0] = t_new
+    sat_ref[0] = (jnp.max(t_new) < _T_EPS).astype(jnp.int32)
 
 
 def _composite_call(records, chunk_tile, chunk_first, nty, ntx, interpret):
@@ -362,6 +382,7 @@ def _composite_call(records, chunk_tile, chunk_first, nty, ntx, interpret):
         out_specs=[
             pl.BlockSpec((1, 1, _PIX), out_map,
                          memory_space=pltpu.VMEM)] * 4,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
     out_shape = [jax.ShapeDtypeStruct((ntiles + 1, 1, _PIX),
                                       jnp.float32)] * 4

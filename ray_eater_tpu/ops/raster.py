@@ -226,24 +226,59 @@ def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
     return out
 
 
+#: triangle counts up to this use the one-hot-matmul attribute fetch
+_ONEHOT_MAX_TRIS = 256
+
+
 def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
            varyings: dict, indices, inv_w, resources) -> Framebuffer:
     """Deferred shading: perspective-correct varyings for winner triangles,
-    run fragment_fn, merge into the framebuffer."""
+    run fragment_fn, merge into the framebuffer.
+
+    Attribute fetch: per-pixel gathers are the slowest op on TPU, so for
+    small scenes (T ≤ 256) the winner-triangle attributes are fetched with
+    one (pixels, T) one-hot × (T, features) MXU matmul instead — ~100x
+    faster than 11M random gathers at 900x600."""
     mask = gtri >= 0
     t = jnp.maximum(gtri, 0)                          # (H, W)
     l2 = 1.0 - gl0 - gl1
     lam = jnp.stack([gl0, gl1, l2], -1)               # (H, W, 3)
-    iw = inv_w[t]                                     # (H, W, 3)
+
+    num_tris = indices.shape[0]
+    names = list(varyings)
+    if num_tris <= _ONEHOT_MAX_TRIS:
+        # feature table: [inv_w (3) | per-varying (3*K)...] per triangle
+        cols = [inv_w]                                # (T, 3)
+        for name in names:
+            tv = varyings[name][indices]              # (T, 3, K)
+            cols.append(tv.reshape(num_tris, -1))
+        table = jnp.concatenate(cols, -1)             # (T, F)
+        hw = t.shape
+        onehot = (t.reshape(-1)[:, None]
+                  == jnp.arange(num_tris, dtype=gtri.dtype)[None, :]
+                  ).astype(jnp.float32)               # (P, T)
+        feats = jnp.matmul(onehot, table,
+                           preferred_element_type=jnp.float32)  # (P, F)
+        feats = feats.reshape(*hw, -1)                # (H, W, F)
+        iw = feats[..., :3]
+        offs = 3
+        fetched = {}
+        for name in names:
+            k = varyings[name].shape[-1]
+            fetched[name] = feats[..., offs:offs + 3 * k].reshape(
+                *hw, 3, k)
+            offs += 3 * k
+    else:
+        iw = inv_w[t]                                 # (H, W, 3)
+        fetched = {name: varyings[name][indices][t] for name in names}
+
     lp = lam * iw
     denom = jnp.sum(lp, -1, keepdims=True)
     lp = lp / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
 
     vary_px = {}
-    for name, v in varyings.items():                  # v: (N, K)
-        tv = v[indices]                               # (T, 3, K)
-        g = tv[t]                                     # (H, W, 3, K)
-        vary_px[name] = jnp.einsum("hwi,hwik->hwk", lp, g)
+    for name in names:
+        vary_px[name] = jnp.einsum("hwi,hwik->hwk", lp, fetched[name])
 
     rgba = pipe.fragment_fn(vary_px, resources)       # (H, W, 4)
     out = blend_color(pipe.state.blend, rgba, fb.color)
