@@ -90,6 +90,16 @@ class Swapchain:
             return np.asarray(self._inflight.popleft())
         return None
 
+    def resize(self, width: int, height: int) -> "Swapchain":
+        """Swapchain recreation (the reference explicitly deferred this,
+        swapchain.zig:229-230): drains in-flight frames and returns a new
+        ring for the new extent. Framebuffers are bucketed shapes, so the
+        caller re-creates its frame program for the new size."""
+        for _ in self.drain():
+            pass
+        return Swapchain(self.ctx, width, height, self.image_count,
+                         self.srgb)
+
     def drain(self):
         """Block for and yield all remaining in-flight frames."""
         while self._inflight:

@@ -222,3 +222,37 @@ class FrameProgram:
     @property
     def pass_names(self) -> list[str]:
         return [p.name for p in self.schedule]
+
+    def save_baked(self, path: str, **example_env) -> None:
+        """Serialize the baked frame program (StableHLO via jax.export) so
+        later launches skip tracing + compilation entirely — the
+        render-graph-bake artifact SURVEY.md §5.4 suggested the reference
+        needed. ``example_env`` must carry arrays of the shapes/dtypes the
+        frame will be called with."""
+        import jax
+        from jax import export as jexport
+
+        missing = [e for e in self.externals if e not in example_env]
+        if missing:
+            raise GraphValidationError(f"save_baked missing {missing}")
+        jitted = (self._fn if hasattr(self._fn, "lower")
+                  else jax.jit(self._fn))
+        exported = jexport.export(jitted)({
+            k: example_env[k] for k in self.externals})
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        _log.info("baked frame %s -> %s", self.name, path)
+
+
+def load_baked(path: str):
+    """Load a frame program serialized by :meth:`FrameProgram.save_baked`.
+    Returns a callable taking the same env dict."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def call(**env):
+        return exported.call(env)
+
+    return call

@@ -32,26 +32,39 @@ class GaussianCloud:
     """Struct-of-arrays splat scene (all float32):
     means (N,3) world positions; scales (N,3) linear std-devs;
     quats (N,4) normalized rotations (w,x,y,z); opacities (N,) in [0,1];
-    colors (N,3) linear RGB."""
+    colors (N,3) linear RGB (the SH-DC term); sh_rest (N, B, 3) optional
+    higher-order spherical-harmonic coefficients (B = (deg+1)²-1) for
+    view-dependent color — evaluate with :func:`eval_sh_colors`."""
 
     means: jnp.ndarray
     scales: jnp.ndarray
     quats: jnp.ndarray
     opacities: jnp.ndarray
     colors: jnp.ndarray
+    sh_rest: jnp.ndarray | None = None
 
     @property
     def num_splats(self) -> int:
         return self.means.shape[0]
 
+    @property
+    def sh_degree(self) -> int:
+        if self.sh_rest is None:
+            return 0
+        return int(round((self.sh_rest.shape[1] + 1) ** 0.5)) - 1
 
-def gaussian_cloud(means, scales, quats, opacities, colors) -> GaussianCloud:
+
+def gaussian_cloud(means, scales, quats, opacities, colors,
+                   sh_rest=None) -> GaussianCloud:
     f = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    n = np.asarray(means).reshape(-1, 3).shape[0]
     return GaussianCloud(means=f(means).reshape(-1, 3),
                          scales=f(scales).reshape(-1, 3),
                          quats=f(quats).reshape(-1, 4),
                          opacities=f(opacities).reshape(-1),
-                         colors=f(colors).reshape(-1, 3))
+                         colors=f(colors).reshape(-1, 3),
+                         sh_rest=(None if sh_rest is None
+                                  else f(sh_rest).reshape(n, -1, 3)))
 
 
 def random_cloud(n: int, seed: int = 0, extent: float = 1.0,
@@ -82,6 +95,52 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+# real SH basis constants for degrees 1..3 (the 3DGS convention)
+_SH_C1 = 0.4886025119029199
+_SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+          -1.0925484305920792, 0.5462742152960396)
+_SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+          0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+          -0.5900435899266435)
+
+
+def eval_sh_colors(cloud: "GaussianCloud", cam_pos) -> "jnp.ndarray":
+    """View-dependent colors: evaluate the cloud's SH at the direction from
+    ``cam_pos`` to each splat → (N, 3) linear RGB, clipped to [0, 1].
+
+    Degree 0 returns ``cloud.colors`` unchanged. Matches the original 3DGS
+    real-SH evaluation order (bands y, z, x)."""
+    import jax.numpy as jnp
+    base = cloud.colors
+    if cloud.sh_rest is None or cloud.sh_rest.shape[1] == 0:
+        return base
+    d = cloud.means - jnp.asarray(cam_pos, jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
+    x, y, z = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    sh = cloud.sh_rest                                   # (N, B, 3)
+    deg = cloud.sh_degree
+    # start from the DC-decoded color (colors = 0.5 + C0*f_dc)
+    out = base - 0.5
+    out = out + _SH_C1 * (-y * sh[:, 0] + z * sh[:, 1] - x * sh[:, 2])
+    if deg >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out = out + (_SH_C2[0] * xy * sh[:, 3]
+                     + _SH_C2[1] * yz * sh[:, 4]
+                     + _SH_C2[2] * (2.0 * zz - xx - yy) * sh[:, 5]
+                     + _SH_C2[3] * xz * sh[:, 6]
+                     + _SH_C2[4] * (xx - yy) * sh[:, 7])
+    if deg >= 3:
+        out = out + (_SH_C3[0] * y * (3 * xx - yy) * sh[:, 8]
+                     + _SH_C3[1] * xy * z * sh[:, 9]
+                     + _SH_C3[2] * y * (4 * zz - xx - yy) * sh[:, 10]
+                     + _SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[:, 11]
+                     + _SH_C3[4] * x * (4 * zz - xx - yy) * sh[:, 12]
+                     + _SH_C3[5] * z * (xx - yy) * sh[:, 13]
+                     + _SH_C3[6] * x * (xx - 3 * yy) * sh[:, 14])
+    return jnp.clip(out + 0.5, 0.0, 1.0)
+
+
 def load_ply(path: str) -> GaussianCloud:
     """Load a 3DGS PLY (binary_little_endian or ascii). Activations applied:
     exp() on log-scales, sigmoid() on opacity logits, SH-DC → RGB."""
@@ -99,8 +158,18 @@ def load_ply(path: str) -> GaussianCloud:
     quats = np.stack([cols["rot_0"], cols["rot_1"], cols["rot_2"],
                       cols["rot_3"]], -1)
     quats /= np.maximum(np.linalg.norm(quats, axis=1, keepdims=True), 1e-12)
-    _log.info("loaded %d splats from %s", len(means), path)
-    return gaussian_cloud(means, scales, quats, opac, colors)
+
+    # higher-order SH: f_rest_* stored channel-major (R coeffs, G, B)
+    rest_names = sorted((p for p in props if p.startswith("f_rest_")),
+                        key=lambda s: int(s.split("_")[-1]))
+    sh_rest = None
+    if rest_names:
+        rest = np.stack([cols[p] for p in rest_names], -1)   # (N, 3*B)
+        b = rest.shape[1] // 3
+        sh_rest = rest.reshape(-1, 3, b).transpose(0, 2, 1)  # (N, B, 3)
+    _log.info("loaded %d splats from %s (sh bands: %d)", len(means), path,
+              0 if sh_rest is None else sh_rest.shape[1])
+    return gaussian_cloud(means, scales, quats, opac, colors, sh_rest)
 
 
 def save_ply(path: str, cloud: GaussianCloud) -> None:
@@ -112,12 +181,19 @@ def save_ply(path: str, cloud: GaussianCloud) -> None:
     quats = np.asarray(cloud.quats, np.float32)
     f_dc = (colors - 0.5) / SH_C0
     logit = np.log(opac / (1 - opac))
-    rec = np.concatenate([means, f_dc, logit[:, None], np.log(scales),
-                          quats], -1).astype("<f4")
+    parts = [means, f_dc, logit[:, None], np.log(scales), quats]
+    props = list(_PLY_PROPS)
+    if cloud.sh_rest is not None:
+        rest = np.asarray(cloud.sh_rest, np.float32)          # (N, B, 3)
+        b = rest.shape[1]
+        parts.insert(3, rest.transpose(0, 2, 1).reshape(len(means), -1))
+        props = (props[:7] + [f"f_rest_{i}" for i in range(3 * b)]
+                 + props[7:])
+    rec = np.concatenate(parts, -1).astype("<f4")
     n = len(rec)
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {n}"]
-    header += [f"property float {p}" for p in _PLY_PROPS]
+    header += [f"property float {p}" for p in props]
     header += ["end_header", ""]
     with open(path, "wb") as f:
         f.write("\n".join(header).encode("ascii"))

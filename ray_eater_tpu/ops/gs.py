@@ -402,6 +402,7 @@ def _untile(plane: jnp.ndarray, nty: int, ntx: int) -> jnp.ndarray:
 def render_gaussians(cloud, view, proj, width: int, height: int,
                      background=(0.0, 0.0, 0.0),
                      pairs_cap_factor: int | None = None,
+                     cam_pos=None,
                      interpret: bool = False) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
@@ -410,9 +411,16 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     worst case (K pairs per splat + one chunk of alignment padding per
     tile) so no work is ever dropped; an integer factor trades memory/grid
     steps for graceful far-splat dropping under extreme duplication.
+
+    ``cam_pos`` (world-space camera position) enables view-dependent SH
+    color evaluation when the cloud carries higher-order SH bands.
     """
+    colors = cloud.colors
+    if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
+        from ..models.gaussians import eval_sh_colors
+        colors = eval_sh_colors(cloud, cam_pos)
     ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
-                           cloud.opacities, cloud.colors, view, proj,
+                           cloud.opacities, colors, view, proj,
                            width, height)
     records = _sort_records_by_depth(_make_records(ps))
 

@@ -37,7 +37,7 @@ def orbit_camera(t, radius=2.5, height=0.8, fov_deg=60.0, aspect=16 / 9):
                     radius * np.sin(float(ang)))
     view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
     proj = rmath.perspective(rmath.radians(fov_deg), aspect, 0.05, 50.0)
-    return view, proj
+    return view, proj, eye
 
 
 def main(argv=None):
@@ -65,22 +65,23 @@ def main(argv=None):
     log.info("scene: %d splats", n)
 
     @jax.jit
-    def frame_program(view, proj):
+    def frame_program(view, proj, eye):
         return render_gaussians(cloud, view, proj, W, H,
                                 background=(0.0, 0.0, 0.0),
+                                cam_pos=eye,   # view-dependent SH colors
                                 interpret=interpret)
 
     os.makedirs(args.out, exist_ok=True)
-    view, proj = orbit_camera(0.0, aspect=W / H)
-    img = frame_program(view, proj)
+    view, proj, eye = orbit_camera(0.0, aspect=W / H)
+    img = frame_program(view, proj, eye)
     ctx.wait_idle(img)
     log.info("compiled gs frame program on %s", ctx.device)
 
     t0 = time.perf_counter()
     for i in range(args.frames):
         t = 0.0 if args.static_camera else i / 60.0
-        view, proj = orbit_camera(t, aspect=W / H)
-        img = frame_program(view, proj)
+        view, proj, eye = orbit_camera(t, aspect=W / H)
+        img = frame_program(view, proj, eye)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 

@@ -107,6 +107,21 @@ def test_compute_then_draw_frame():
     assert np.allclose(img[5, 5, :3], [0, 0, 0], atol=1e-2)     # background
 
 
+def test_baked_frame_serialization(tmp_path):
+    # bake → serialize → reload without retracing (SURVEY §5.4 artifact)
+    from ray_eater_tpu.graph.render_graph import load_baked
+    g = (RenderGraph("ser").external("x")
+         .add_pass("p", lambda i: {"y": i["x"] * 3.0}, reads=("x",),
+                   writes=("y",))
+         .output("y"))
+    prog = g.bake()
+    path = str(tmp_path / "frame.bin")
+    prog.save_baked(path, x=jnp.zeros((8,), jnp.float32))
+    loaded = load_baked(path)
+    out = loaded(x=jnp.full((8,), 2.0, jnp.float32))
+    assert float(out["y"][0]) == 6.0
+
+
 def test_depth_prepass_plus_lit_pass():
     """BASELINE config 3 shape: depth prepass then color pass re-using the
     prepass depth (equal-depth fragments shade, occluded ones don't)."""
