@@ -168,18 +168,23 @@ class RenderGraph:
     def bake(self, jit: bool = True, donate: Sequence[str] = ()) -> "FrameProgram":
         """Resolution phase: validate, schedule, and compile the frame.
 
-        ``donate``: external slot names whose buffers may be reused in-place
-        (the framebuffer ring pattern — donate the previous frame's fb).
+        ``donate``: external slot names whose device buffers XLA may reuse
+        in place (the framebuffer-ring pattern — donate the previous
+        frame's fb; the caller must not touch those arrays afterwards).
         """
         schedule = self._schedule()
         outputs = list(self._outputs) or sorted(
             {w for p in schedule for w in p.writes})
         externals = sorted(self._external)
+        donate_set = set(donate)
+        unknown = donate_set - set(externals)
+        if unknown:
+            raise GraphValidationError(f"donate of non-external {unknown}")
         _log.info("graph %s baked: %s -> %s", self.name,
                   [p.name for p in schedule], outputs)
 
-        def run(env: dict) -> dict:
-            env = dict(env)
+        def run(donated: dict, kept: dict) -> dict:
+            env = {**donated, **kept}
             for p in schedule:
                 ins = {r: env[r] for r in p.reads}
                 outs = p.fn(ins)
@@ -191,14 +196,11 @@ class RenderGraph:
                 env.update(outs)
             return {o: env[o] for o in outputs}
 
-        fn = run
-        if jit:
-            donate_set = set(donate)
-            unknown = donate_set - set(externals)
-            if unknown:
-                raise GraphValidationError(f"donate of non-external {unknown}")
-            fn = jax.jit(run, donate_argnames=None)
-        return FrameProgram(self.name, fn, externals, outputs, schedule)
+        fn = jax.jit(run, donate_argnums=(0,)) if jit else run
+        prog = FrameProgram(self.name, fn, externals, outputs, schedule,
+                            sorted(donate_set))
+        prog._run = run
+        return prog
 
 
 @dataclasses.dataclass
@@ -211,13 +213,16 @@ class FrameProgram:
     externals: list[str]
     outputs: list[str]
     schedule: list[Pass]
+    donated: list[str] = dataclasses.field(default_factory=list)
 
     def __call__(self, **env) -> dict:
         missing = [e for e in self.externals if e not in env]
         if missing:
             raise GraphValidationError(
                 f"frame {self.name!r} missing external slots {missing}")
-        return self._fn(env)
+        donated = {k: env[k] for k in self.donated}
+        kept = {k: v for k, v in env.items() if k not in self.donated}
+        return self._fn(donated, kept)
 
     @property
     def pass_names(self) -> list[str]:
@@ -235,8 +240,10 @@ class FrameProgram:
         missing = [e for e in self.externals if e not in example_env]
         if missing:
             raise GraphValidationError(f"save_baked missing {missing}")
-        jitted = (self._fn if hasattr(self._fn, "lower")
-                  else jax.jit(self._fn))
+        # export without donation (serialized programs own no input buffers)
+        run = getattr(self, "_run", None) or (
+            lambda donated, kept: self._fn(donated, kept))
+        jitted = jax.jit(lambda env: run({}, env))
         exported = jexport.export(jitted)({
             k: example_env[k] for k in self.externals})
         with open(path, "wb") as f:

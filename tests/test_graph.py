@@ -107,6 +107,28 @@ def test_compute_then_draw_frame():
     assert np.allclose(img[5, 5, :3], [0, 0, 0], atol=1e-2)     # background
 
 
+def test_donated_framebuffer():
+    # donation: the previous frame's fb buffer is reused in place
+    g = (RenderGraph("donate").external("fb", "u")
+         .add_pass("p", lambda i: {"fb": i["fb"] * 0.5 + i["u"]},
+                   reads=("fb", "u"), writes=("fb",))
+         .output("fb"))
+    prog = g.bake(donate=("fb",))
+    assert prog.donated == ["fb"]
+    fb = jnp.ones((64, 128), jnp.float32)
+    out = prog(fb=fb, u=jnp.float32(1.0))["fb"]
+    assert float(out[0, 0]) == 1.5
+    # donated input is consumed — reuse must raise
+    with pytest.raises(RuntimeError):
+        _ = float(fb[0, 0]) + 0  # deleted buffer access
+    # non-external donation rejected at bake
+    g2 = (RenderGraph("bad").external("x")
+          .add_pass("p", lambda i: {"y": i["x"]}, reads=("x",),
+                    writes=("y",)))
+    with pytest.raises(GraphValidationError, match="donate"):
+        g2.bake(donate=("ghost",))
+
+
 def test_baked_frame_serialization(tmp_path):
     # bake → serialize → reload without retracing (SURVEY §5.4 artifact)
     from ray_eater_tpu.graph.render_graph import load_baked
