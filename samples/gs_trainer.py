@@ -1,0 +1,97 @@
+"""gs_trainer — fit a Gaussian-splat scene to a rendered target image.
+
+End-to-end training demo: renders a target image from a hidden scene, then
+optimizes a randomly-initialized cloud against it with Adam (optionally
+data-parallel over all local devices). Demonstrates the differentiable
+splatting path (models/gs_training.py).
+
+Run: ``python samples/gs_trainer.py [--splats N] [--steps N] [--dp]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+import optax
+
+import ray_eater_tpu as re
+from ray_eater_tpu import rmath
+from ray_eater_tpu.io.image import linear_to_srgb, save_png
+from ray_eater_tpu.models.gaussians import random_cloud
+from ray_eater_tpu.models.gs_training import (make_train_step,
+                                              make_train_step_dp,
+                                              params_from_cloud, render_diff)
+from ray_eater_tpu.parallel.sharded import make_device_mesh
+from ray_eater_tpu.utils.logging import scoped
+
+log = scoped("application")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--splats", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel over all local devices")
+    ap.add_argument("--out", default="/tmp/rayeater_train")
+    args = ap.parse_args(argv)
+
+    ctx = re.Context()
+    W, H = args.width, args.height
+    view = rmath.look_at_zforward(rmath.vec(0.0, 0.3, -2.5),
+                                  rmath.vec(0.0, 0.0, 0.0))
+    proj = rmath.perspective(rmath.radians(60.0), W / H, 0.1, 30.0)
+
+    target_cloud = random_cloud(args.splats, seed=42, extent=0.6,
+                                scale_range=(0.04, 0.1))
+    target = render_diff(params_from_cloud(target_cloud), view, proj, W, H)
+
+    params = params_from_cloud(
+        random_cloud(args.splats, seed=7, extent=0.6,
+                     scale_range=(0.04, 0.1)))
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    if args.dp:
+        mesh = make_device_mesh()
+        step = make_train_step_dp(opt, view, proj, mesh)
+        log.info("dp training over %d devices", mesh.shape[mesh.axis_names[0]])
+    else:
+        step = make_train_step(opt, view, proj)
+
+    t0 = time.perf_counter()
+    loss0 = None
+    for i in range(args.steps):
+        params, opt_state, loss = step(params, opt_state, target)
+        if loss0 is None:
+            loss0 = float(loss)
+        if i % max(1, args.steps // 10) == 0:
+            log.info("step %4d  loss %.6f", i, float(loss))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    final = render_diff(params, view, proj, W, H)
+    to_u8 = lambda im: np.asarray(
+        jax.numpy.round(linear_to_srgb(im) * 255).astype(jax.numpy.uint8))
+    save_png(os.path.join(args.out, "target.png"), to_u8(target))
+    save_png(os.path.join(args.out, "fitted.png"), to_u8(final))
+    print(f"gs_trainer[{'dp' if args.dp else 'single'}]: {args.steps} steps "
+          f"{args.splats} splats {W}x{H} in {dt:.2f}s "
+          f"({args.steps / dt:.1f} steps/s); loss {loss0:.5f} -> "
+          f"{float(loss):.5f} (saved {args.out}/fitted.png)")
+    return float(loss)
+
+
+if __name__ == "__main__":
+    main()
