@@ -32,6 +32,14 @@ def linear_to_srgb(c):
                     1.055 * xp.power(c, 1.0 / 2.4) - 0.055)
 
 
+def to_srgb_u8(img) -> np.ndarray:
+    """Linear-light float image → sRGB-encoded uint8 (host array).
+    The shared present-encode for samples that bypass the Swapchain."""
+    import jax.numpy as jnp
+    return np.asarray(jnp.round(linear_to_srgb(img) * 255.0
+                                ).astype(jnp.uint8))
+
+
 def load_image(path: str) -> np.ndarray:
     """Decode an image file to ``(H, W, 4)`` uint8 RGBA (native C++ PNG
     decoder when built; PIL otherwise)."""

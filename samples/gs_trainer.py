@@ -23,7 +23,7 @@ import optax
 
 import ray_eater_tpu as re
 from ray_eater_tpu import rmath
-from ray_eater_tpu.io.image import linear_to_srgb, save_png
+from ray_eater_tpu.io.image import save_png, to_srgb_u8
 from ray_eater_tpu.models.gaussians import random_cloud
 from ray_eater_tpu.models.gs_training import (make_train_step,
                                               make_train_step_dp,
@@ -45,6 +45,9 @@ def main(argv=None):
                     help="data-parallel over all local devices")
     ap.add_argument("--out", default="/tmp/rayeater_train")
     args = ap.parse_args(argv)
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
+    os.makedirs(args.out, exist_ok=True)   # fail fast on unwritable --out
 
     ctx = re.Context()
     W, H = args.width, args.height
@@ -69,27 +72,31 @@ def main(argv=None):
     else:
         step = make_train_step(opt, view, proj)
 
+    # warm-up compile outside the timed loop (TPU compiles can take minutes)
+    params, opt_state, loss0 = step(params, opt_state, target)
+    jax.block_until_ready(loss0)
+    loss0 = float(loss0)
+    log.info("compiled train step on %s; initial loss %.6f",
+             ctx.device, loss0)
+
     t0 = time.perf_counter()
-    loss0 = None
-    for i in range(args.steps):
+    loss = loss0
+    for i in range(1, args.steps):
         params, opt_state, loss = step(params, opt_state, target)
-        if loss0 is None:
-            loss0 = float(loss)
         if i % max(1, args.steps // 10) == 0:
             log.info("step %4d  loss %.6f", i, float(loss))
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    os.makedirs(args.out, exist_ok=True)
     final = render_diff(params, view, proj, W, H)
-    to_u8 = lambda im: np.asarray(
-        jax.numpy.round(linear_to_srgb(im) * 255).astype(jax.numpy.uint8))
-    save_png(os.path.join(args.out, "target.png"), to_u8(target))
-    save_png(os.path.join(args.out, "fitted.png"), to_u8(final))
+    save_png(os.path.join(args.out, "target.png"), to_srgb_u8(target))
+    save_png(os.path.join(args.out, "fitted.png"), to_srgb_u8(final))
+    steps_timed = max(args.steps - 1, 1)
     print(f"gs_trainer[{'dp' if args.dp else 'single'}]: {args.steps} steps "
-          f"{args.splats} splats {W}x{H} in {dt:.2f}s "
-          f"({args.steps / dt:.1f} steps/s); loss {loss0:.5f} -> "
-          f"{float(loss):.5f} (saved {args.out}/fitted.png)")
+          f"{args.splats} splats {W}x{H} on {ctx.device.platform}, "
+          f"{steps_timed / dt:.1f} steps/s (post-compile); "
+          f"loss {loss0:.5f} -> {float(loss):.5f} "
+          f"(saved {args.out}/fitted.png)")
     return float(loss)
 
 

@@ -22,7 +22,7 @@ import numpy as np
 
 import ray_eater_tpu as re
 from ray_eater_tpu import rmath
-from ray_eater_tpu.io.image import linear_to_srgb, save_png
+from ray_eater_tpu.io.image import save_png, to_srgb_u8
 from ray_eater_tpu.models.gaussians import load_ply, random_cloud
 from ray_eater_tpu.ops.gs import render_gaussians
 from ray_eater_tpu.utils.logging import scoped
@@ -85,9 +85,7 @@ def main(argv=None):
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 
-    out = np.asarray(jax.numpy.round(
-        linear_to_srgb(img) * 255.0).astype(jax.numpy.uint8))
-    save_png(os.path.join(args.out, "frame_last.png"), out)
+    save_png(os.path.join(args.out, "frame_last.png"), to_srgb_u8(img))
     fps = args.frames / dt
     mode = "static" if args.static_camera else "flythrough"
     print(f"gs_viewer[{mode}]: {args.frames} frames {W}x{H} {n} splats in "
