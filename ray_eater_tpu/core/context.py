@@ -51,7 +51,9 @@ class Context:
     """
 
     def __init__(self, config: ContextConfig | None = None):
-        self.config = config or ContextConfig()
+        # copy: resolution of interpret/cache below must not leak into the
+        # caller's config object (it may be reused for another Context)
+        self.config = dataclasses.replace(config) if config else ContextConfig()
         devices = (jax.devices(self.config.platform)
                    if self.config.platform else jax.devices())
         if not devices:

@@ -83,7 +83,8 @@ def blend_color(mode: BlendMode, src, dst):
     blending off — ALPHA provided for the 3DGS/OIT paths)."""
     if mode is BlendMode.NONE:
         return src
+    import jax.numpy as jnp
     a = src[..., 3:4]
     rgb = src[..., :3] * a + dst[..., :3] * (1.0 - a)
-    import jax.numpy as jnp
-    return jnp.concatenate([rgb, jnp.maximum(src[..., 3:], dst[..., 3:])], -1)
+    out_a = a + dst[..., 3:] * (1.0 - a)   # standard over-operator coverage
+    return jnp.concatenate([rgb, out_a], -1)

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import pad_to as _pad
+
 
 def pytree_dataclass(cls):
     """Register a dataclass as a jax pytree (array fields = children)."""
@@ -58,10 +60,6 @@ class Framebuffer:
     @property
     def padded_height(self) -> int:
         return self.color.shape[0]
-
-
-def _pad(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def create_framebuffer(width: int, height: int,

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import pad_to as _pad_to
 from ..utils.logging import scoped
 
 _log = scoped("gs")
@@ -53,10 +54,6 @@ _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
 # per splat so every binning gather is a row DMA, not 10 scalar gathers)
 _MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2, _VAL, _RAD, _DEPTH = range(12)
 _ROWS = 16
-
-
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -87,8 +84,10 @@ def project_gaussians(means, scales, quats, opacities, colors,
                       near: float = 0.05,
                       max_radius: float | None = None) -> ProjectedSplats:
     """EWA splat projection under this framework's camera conventions
-    (rmath.look_at/perspective: visible geometry at +z_view, y-down NDC)."""
-    n = means.shape[0]
+    (``rmath.look_at_zforward`` + ``rmath.perspective``: view depth = +z =
+    distance in front, y-down NDC). Do NOT pass ``rmath.look_at`` here — it
+    is the reference's mirrored matrix kept for raster parity and inverts
+    depth ordering (see rmath.look_at_zforward)."""
     # Fully scalar-expanded covariance math: (N,) vector ops only. The
     # (N,3,3)-batched einsum formulation compiles pathologically on TPU
     # (XLA unrolls the tiny contractions; ~5 min compile at 1M splats) and
@@ -186,12 +185,6 @@ def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
     ], -1)                                                  # (N, 12)
     pad = jnp.zeros((n, _ROWS - cols.shape[1]), jnp.float32)
     return jnp.concatenate([cols, pad], -1)
-
-
-def _sort_by_depth(ps: ProjectedSplats) -> ProjectedSplats:
-    order = jnp.argsort(ps.depth)         # culled (inf) sink to the back
-    g = lambda x: jnp.take(x, order, axis=0)
-    return ProjectedSplats(*(g(f) for f in ps))
 
 
 def _sort_records_by_depth(records: jnp.ndarray) -> jnp.ndarray:

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import pad_to as _pad_to
 from ..core.pipeline import (BlendMode, CompareOp, CullMode, FrontFace,
                              GraphicsPipeline, blend_color)
 from ..core.resources import Framebuffer
@@ -56,10 +57,6 @@ _A0, _B0, _C0, _A1, _B1, _C1, _AZ, _BZ, _CZ, _VALID = range(10)
 
 _W_EPS = 1e-6
 _AREA_EPS = 1e-12
-
-
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def viewport_transform(clip: jnp.ndarray, width: int, height: int):
@@ -118,13 +115,12 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
     bz = b0 * (z0 - z2) + b1 * (z1 - z2)
     cz = c0 * (z0 - z2) + c1 * (z1 - z2) + z2
 
-    t = clip.dtype.type if hasattr(clip.dtype, "type") else jnp.float32
     rows = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz,
                       keep.astype(jnp.float32)])          # (10, T)
     tpad = max(_pad_to(rows.shape[1], CHUNK), CHUNK)
     setup = jnp.zeros((_ROWS, tpad), jnp.float32)
     setup = setup.at[:10, :rows.shape[1]].set(rows)
-    return setup, inv_w
+    return setup, inv_w, z
 
 
 def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
@@ -231,14 +227,20 @@ _ONEHOT_MAX_TRIS = 256
 
 
 def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
-           varyings: dict, indices, inv_w, resources) -> Framebuffer:
+           varyings: dict, indices, inv_w, resources,
+           z_tri=None) -> Framebuffer:
     """Deferred shading: perspective-correct varyings for winner triangles,
     run fragment_fn, merge into the framebuffer.
 
     Attribute fetch: per-pixel gathers are the slowest op on TPU, so for
     small scenes (T ≤ 256) the winner-triangle attributes are fetched with
     one (pixels, T) one-hot × (T, features) MXU matmul instead — ~100x
-    faster than 11M random gathers at 900x600."""
+    faster than 11M random gathers at 900x600.
+
+    ``z_tri`` (T, 3): per-corner NDC depth. When given, the framebuffer
+    depth is interpolated from the winner's depth plane instead of taken
+    from ``gdepth`` — required in last-wins modes, where the kernel's depth
+    buffer holds sort keys (-triangle_id), not depth."""
     mask = gtri >= 0
     t = jnp.maximum(gtri, 0)                          # (H, W)
     l2 = 1.0 - gl0 - gl1
@@ -247,8 +249,10 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
     num_tris = indices.shape[0]
     names = list(varyings)
     if num_tris <= _ONEHOT_MAX_TRIS:
-        # feature table: [inv_w (3) | per-varying (3*K)...] per triangle
+        # feature table: [inv_w (3) | z (3)? | per-varying (3*K)...]
         cols = [inv_w]                                # (T, 3)
+        if z_tri is not None:
+            cols.append(z_tri)                        # (T, 3)
         for name in names:
             tv = varyings[name][indices]              # (T, 3, K)
             cols.append(tv.reshape(num_tris, -1))
@@ -262,6 +266,10 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
         feats = feats.reshape(*hw, -1)                # (H, W, F)
         iw = feats[..., :3]
         offs = 3
+        z_px = None
+        if z_tri is not None:
+            z_px = feats[..., 3:6]                    # (H, W, 3)
+            offs = 6
         fetched = {}
         for name in names:
             k = varyings[name].shape[-1]
@@ -270,6 +278,7 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
             offs += 3 * k
     else:
         iw = inv_w[t]                                 # (H, W, 3)
+        z_px = None if z_tri is None else z_tri[t]    # (H, W, 3)
         fetched = {name: varyings[name][indices][t] for name in names}
 
     lp = lam * iw
@@ -284,7 +293,13 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
     out = blend_color(pipe.state.blend, rgba, fb.color)
     color = jnp.where(mask[..., None], out, fb.color)
 
-    if pipe.state.depth_test and pipe.state.depth_write:
+    if z_px is not None and pipe.state.depth_write:
+        # last-wins/ALWAYS: gdepth holds sort keys; interpolate true depth
+        # from the winner's plane (screen-space barycentrics — NDC z is
+        # linear in screen space)
+        depth_interp = jnp.sum(lam * z_px, -1)
+        depth = jnp.where(mask, depth_interp, fb.depth)
+    elif pipe.state.depth_test and pipe.state.depth_write:
         depth = gdepth        # kernel already min-folded against fb depth
     elif pipe.state.depth_write:
         depth = jnp.where(mask, gdepth, fb.depth)
@@ -303,8 +318,8 @@ def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
     clip, varyings = pipe.vertex_fn(mesh_.positions, mesh_.attributes,
                                     uniforms)
     state = pipe.state
-    setup, inv_w = _triangle_setup(clip, mesh_.indices, state,
-                                   fb.width, fb.height)
+    setup, inv_w, z_tri = _triangle_setup(clip, mesh_.indices, state,
+                                          fb.width, fb.height)
     last_wins = not state.depth_test
     depth_cmp = state.depth_compare
     if depth_cmp is CompareOp.ALWAYS:
@@ -315,4 +330,5 @@ def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
         interpret=interpret,
         less_equal=depth_cmp is CompareOp.LESS_EQUAL)
     return _shade(pipe, fb, gdepth, gtri, gl0, gl1, varyings, mesh_.indices,
-                  inv_w, resources)
+                  inv_w, resources,
+                  z_tri=z_tri if (last_wins and state.depth_write) else None)

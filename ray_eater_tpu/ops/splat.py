@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import pad_to as _pad_to
 from ..utils.logging import scoped
 
 _log = scoped("splat")
@@ -36,10 +37,6 @@ _log = scoped("splat")
 TILE_H = 8
 TILE_W = 128
 CHUNK = 128
-
-
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _splat_kernel(pos_ref, mask_ref, *, radius, width, height):

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.resources import Framebuffer
 from ..models.mesh import Mesh as GeoMesh
 from ..ops import gs as gs_ops
+from ..utils import pad_to as _pad_to
 from ..utils.logging import scoped
 
 _log = scoped("parallel")
@@ -39,10 +40,6 @@ def make_device_mesh(n_devices: int | None = None,
     """1-D device mesh over the first n devices (default: all)."""
     n = n_devices or len(jax.devices())
     return jax.make_mesh((n,), (axis,))
-
-
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
@@ -136,7 +133,7 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
                                         uniforms)
         # shift screen-space y by the band origin: adjust the viewport
         # inside triangle setup by biasing the plane constants
-        setup, inv_w = raster_ops._triangle_setup(
+        setup, inv_w, z_tri = raster_ops._triangle_setup(
             clip, geo.indices, pipe.state, width, height)
         # λ(px, py_global) = a·px + b·(py_local + y0) + c  →  c += b·y0
         setup = setup.at[2].add(setup[1] * y0)     # c0 += b0*y0
@@ -151,7 +148,8 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
             width=width, height=height)
 
         state = pipe.state
-        last_wins = not state.depth_test
+        last_wins = (not state.depth_test
+                     or state.depth_compare.name == "ALWAYS")
         # per-band y scissor is unnecessary: rows past the global height
         # only exist in the last band and are cropped after the concat
         gdepth, gtri, gl0, gl1 = raster_ops._raster_call(
@@ -159,8 +157,10 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
             depth_test=state.depth_test, last_wins=last_wins,
             interpret=interpret,
             less_equal=state.depth_compare.name == "LESS_EQUAL")
-        out_fb = raster_ops._shade(pipe, fb_local, gdepth, gtri, gl0, gl1,
-                                   varyings, geo.indices, inv_w, resources)
+        out_fb = raster_ops._shade(
+            pipe, fb_local, gdepth, gtri, gl0, gl1, varyings, geo.indices,
+            inv_w, resources,
+            z_tri=z_tri if (last_wins and state.depth_write) else None)
         return out_fb.color, out_fb.depth
 
     token = jnp.zeros((d,), jnp.float32)

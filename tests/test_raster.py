@@ -147,6 +147,21 @@ def test_no_depth_test_last_wins():
     assert np.allclose(got_c[H // 2, W // 2, :3], [0, 1, 0], atol=1e-5)
 
 
+def test_depth_write_without_depth_test():
+    # regression: with last-wins modes the kernel's depth buffer holds sort
+    # keys; fb.depth must still receive the interpolated NDC depth
+    pos = [[-1, -1, 0.5], [1, -1, 0.5], [1, 1, 0.5], [-1, 1, 0.5]]
+    mesh = re.mesh(pos, [[0, 1, 2], [2, 3, 0]], color=[[1, 1, 1]] * 4)
+    for state in (RasterState(depth_test=False, depth_write=True),
+                  RasterState(depth_compare=re.CompareOp.ALWAYS,
+                              depth_write=True)):
+        pipe = GraphicsPipeline(vertex_fn=_ndc_vertex,
+                                fragment_fn=flat_color_fragment,
+                                state=state)
+        _, got_d = run_render(pipe, mesh, {})
+        assert np.allclose(got_d[H // 2, W // 2], 0.5, atol=1e-5), state
+
+
 def test_backface_cull():
     # counter-clockwise (in y-down screen space) triangle is a back face
     pos = [[-0.5, -0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.5, 0.5]]
