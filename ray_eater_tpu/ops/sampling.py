@@ -46,19 +46,46 @@ def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
         yi = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, s.address_mode)
         return data[yi, xi]
 
-    x0 = jnp.floor(u).astype(jnp.int32)
-    y0 = jnp.floor(v).astype(jnp.int32)
-    fx = (u - x0.astype(jnp.float32))[..., None]
-    fy = (v - y0.astype(jnp.float32))[..., None]
-    x0w = _wrap(x0, w, s.address_mode)
-    x1w = _wrap(x0 + 1, w, s.address_mode)
-    y0w = _wrap(y0, h, s.address_mode)
-    y1w = _wrap(y0 + 1, h, s.address_mode)
-
-    t00 = data[y0w, x0w]
-    t10 = data[y0w, x1w]
-    t01 = data[y1w, x0w]
-    t11 = data[y1w, x1w]
+    if getattr(tex, "packed", None) is not None:
+        # quad-texel fast path: ONE gather fetches the 2x2 neighborhood
+        # (gathers are the dominant sampling cost on TPU)
+        xi, fx = _packed_coords(uv[..., 0], w, s.address_mode)
+        yi, fy = _packed_coords(uv[..., 1], h, s.address_mode)
+        fx, fy = fx[..., None], fy[..., None]
+        quad = tex.packed[yi, xi]                       # (..., 16)
+        t00, t10 = quad[..., 0:4], quad[..., 4:8]
+        t01, t11 = quad[..., 8:12], quad[..., 12:16]
+    else:
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(v).astype(jnp.int32)
+        fx = (u - x0.astype(jnp.float32))[..., None]
+        fy = (v - y0.astype(jnp.float32))[..., None]
+        x0w = _wrap(x0, w, s.address_mode)
+        y0w = _wrap(y0, h, s.address_mode)
+        x1w = _wrap(x0 + 1, w, s.address_mode)
+        y1w = _wrap(y0 + 1, h, s.address_mode)
+        t00 = data[y0w, x0w]
+        t10 = data[y0w, x1w]
+        t01 = data[y1w, x0w]
+        t11 = data[y1w, x1w]
     top = t00 * (1.0 - fx) + t10 * fx
     bot = t01 * (1.0 - fx) + t11 * fx
     return top * (1.0 - fy) + bot * fy
+
+
+def _packed_coords(u_norm: jnp.ndarray, n: int, mode: AddressMode):
+    """Base index + filter fraction for the quad-texel table: the address
+    mode is applied in *continuous* coordinate space so the base index is
+    always in range and the baked neighbors stay valid."""
+    if mode is AddressMode.REPEAT:
+        t = u_norm * n - 0.5
+        i0 = jnp.floor(t).astype(jnp.int32)
+        return jnp.mod(i0, n), t - i0.astype(jnp.float32)
+    if mode is AddressMode.MIRRORED_REPEAT:
+        m = jnp.mod(u_norm, 2.0)
+        u_norm = jnp.where(m <= 1.0, m, 2.0 - m)
+    else:  # CLAMP_TO_EDGE
+        u_norm = jnp.clip(u_norm, 0.0, 1.0)
+    t = jnp.clip(u_norm * n - 0.5, 0.0, n - 1.0)
+    i0 = jnp.floor(t).astype(jnp.int32)
+    return i0, t - i0.astype(jnp.float32)

@@ -1,0 +1,38 @@
+"""Texture sampling: packed quad-texel fast path ≡ 4-gather path ≡ numpy."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import ray_eater_tpu as re
+from ray_eater_tpu.core.resources import (AddressMode, Filter, Sampler,
+                                          Texture, texture_from_array)
+from ray_eater_tpu.ops.sampling import sample
+import golden_raster as gold
+
+
+@pytest.mark.parametrize("mode", list(AddressMode))
+def test_packed_matches_unpacked_and_numpy(mode):
+    rng = np.random.RandomState(0)
+    tex_u8 = (rng.rand(13, 37, 4) * 255).astype(np.uint8)
+    sampler = Sampler(filter=Filter.LINEAR, address_mode=mode)
+    packed = texture_from_array(tex_u8, sampler, srgb=False, pack=True)
+    unpacked = texture_from_array(tex_u8, sampler, srgb=False, pack=False)
+    assert packed.packed is not None and unpacked.packed is None
+
+    uv = (rng.rand(50, 2) * 3 - 1).astype(np.float32)   # incl. out of range
+    a = np.asarray(sample(packed, jnp.asarray(uv)))
+    b = np.asarray(sample(unpacked, jnp.asarray(uv)))
+    # continuous-space wrapping computes fx with different f32 rounding
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    want = gold.sample_bilinear(np.asarray(unpacked.data, np.float64), uv,
+                                mode=mode.value)
+    np.testing.assert_allclose(a, want, atol=1e-5)
+
+
+def test_nearest_has_no_packed_table():
+    tex_u8 = np.zeros((8, 8, 4), np.uint8)
+    t = texture_from_array(tex_u8, Sampler(filter=Filter.NEAREST),
+                           srgb=False)
+    assert t.packed is None
