@@ -17,7 +17,12 @@ from .core.pipeline import (BlendMode, CompareOp, ComputePipeline, CullMode,
                             FrontFace, GraphicsPipeline, RasterState)
 from .core import shaders
 from .ops.raster import render_mesh
+from .ops.gs import render_gaussians
 from .models.mesh import Mesh, fullscreen_quad, mesh, two_planes
+from .models.gaussians import (GaussianCloud, eval_sh_colors, gaussian_cloud,
+                               load_ply, random_cloud, save_ply)
+from .io.obj import load_obj
+from .graph.render_graph import FrameProgram, RenderGraph, load_baked
 
 __version__ = "0.1.0"
 
@@ -27,5 +32,8 @@ __all__ = [
     "ComputePipeline", "RasterState", "CullMode", "FrontFace", "CompareOp",
     "BlendMode", "shaders", "render_mesh", "Mesh", "mesh", "two_planes",
     "fullscreen_quad", "clear", "create_framebuffer", "texture_from_array",
-    "texture_from_file",
+    "texture_from_file", "render_gaussians", "GaussianCloud",
+    "gaussian_cloud", "random_cloud", "load_ply", "save_ply",
+    "eval_sh_colors", "load_obj", "RenderGraph", "FrameProgram",
+    "load_baked",
 ]

@@ -98,11 +98,24 @@ class Context:
             self._programs[key] = prog
         return prog
 
-    def submit(self, program: Callable, *args, **kwargs):
+    def submit(self, program: Callable, *args, retries: int = 1, **kwargs):
         """Execute a pass program (context.zig:192 analog). Async by nature:
         XLA dispatch returns immediately; call ``block_until_ready`` on the
-        result for a fence (sync.zig:24-54 analog)."""
-        return program(*args, **kwargs)
+        result for a fence (sync.zig:24-54 analog).
+
+        Transient device/transport failures (the device-lost case the
+        reference never handled, SURVEY.md §5.3) are retried once with a
+        log line; persistent failures propagate."""
+        import jax.errors
+        for attempt in range(retries + 1):
+            try:
+                return program(*args, **kwargs)
+            except (jax.errors.JaxRuntimeError, OSError) as e:
+                if attempt >= retries:
+                    raise
+                _log_device.warning(
+                    "submit failed (%s: %s) — retrying (%d/%d)",
+                    type(e).__name__, str(e)[:200], attempt + 1, retries)
 
     def wait_idle(self, *arrays) -> None:
         """DeviceHandler.waitIdle analog (base.zig:644)."""

@@ -59,13 +59,19 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--grid", type=int, default=4)
+    ap.add_argument("--obj", default=None,
+                    help="render a Wavefront OBJ mesh instead of the grid")
     ap.add_argument("--out", default="/tmp/rayeater_multipass")
     args = ap.parse_args(argv)
 
     W, H = args.width, args.height
     ctx = re.Context()
     interpret = ctx.interpret
-    scene = make_scene(args.grid)
+    if args.obj:
+        from ray_eater_tpu.io.obj import load_obj
+        scene = load_obj(args.obj)
+    else:
+        scene = make_scene(args.grid)
     tex = load_texture()
 
     depth_only = re.GraphicsPipeline(
