@@ -65,6 +65,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--out", default="/tmp/rayeater_basic_planes")
+    ap.add_argument("--no-present", action="store_true",
+                    help="measure device-side FPS without host readback")
     ap.add_argument("--save-every", type=int, default=0,
                     help="save every Nth frame (0 = last frame only)")
     args = ap.parse_args(argv)
@@ -95,13 +97,19 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     saved = 0
+    img = None
     for i in range(args.frames):
         t = np.float32(i / 60.0)
         fb = frame_program(t)
+        if args.no_present:
+            continue
         img = sc.present(fb)
         if img is not None and args.save_every and (i % args.save_every == 0):
             save_png(os.path.join(args.out, f"frame_{i:04d}.png"), img)
             saved += 1
+    if args.no_present:
+        jax.block_until_ready(fb.color)
+        img = sc.present(fb)
     tail = list(sc.drain())
     dt = time.perf_counter() - t0
 

@@ -61,6 +61,8 @@ def main(argv=None):
     ap.add_argument("--grid", type=int, default=4)
     ap.add_argument("--obj", default=None,
                     help="render a Wavefront OBJ mesh instead of the grid")
+    ap.add_argument("--no-present", action="store_true",
+                    help="measure device-side FPS without host readback")
     ap.add_argument("--out", default="/tmp/rayeater_multipass")
     args = ap.parse_args(argv)
 
@@ -126,8 +128,12 @@ def main(argv=None):
     for i in range(args.frames):
         fb = frame(fb=re.create_framebuffer(W, H),
                    uniforms=uniforms(np.float32(i / 60.0)))["fb"]
-        out = sc.present(fb)
-        img = out if out is not None else img
+        if not args.no_present:
+            out = sc.present(fb)
+            img = out if out is not None else img
+    if args.no_present:
+        jax.block_until_ready(fb.color)
+        img = sc.present(fb)
     tail = list(sc.drain())
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,78 @@
+"""Swapchain present ring, sRGB encode, resize, and Context behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import ray_eater_tpu as re
+from ray_eater_tpu.core.swapchain import encode_present
+from ray_eater_tpu.io.image import linear_to_srgb
+
+
+def test_encode_present_srgb_and_crop():
+    fb = re.create_framebuffer(100, 50, clear_color=(0.5, 0.25, 1.0, 1.0))
+    img = np.asarray(encode_present(fb.color, 100, 50, srgb=True))
+    assert img.shape == (50, 100, 4) and img.dtype == np.uint8
+    want = np.round(float(linear_to_srgb(np.float32(0.5))) * 255)
+    assert img[0, 0, 0] == want
+    assert img[0, 0, 3] == 255
+
+
+def test_ring_warmup_and_drain():
+    ctx = re.Context()
+    sc = re.Swapchain(ctx, 64, 32, image_count=3)
+    fb = re.create_framebuffer(64, 32, clear_color=(1, 0, 0, 1))
+    outs = [sc.present(fb) for _ in range(5)]
+    # ring depth 3: first two presents return None (warm-up), then frames
+    assert outs[0] is None and outs[1] is None
+    assert all(o is not None for o in outs[2:])
+    tail = list(sc.drain())
+    assert len(tail) == 2                      # remaining in-flight
+    total = len([o for o in outs if o is not None]) + len(tail)
+    assert total == 5                          # every frame arrives
+    np.testing.assert_array_equal(tail[-1][0, 0], [255, 0, 0, 255])
+    assert sc.frames_presented == 5
+
+
+def test_resize_returns_fresh_ring():
+    ctx = re.Context()
+    sc = re.Swapchain(ctx, 64, 32)
+    sc.present(re.create_framebuffer(64, 32))
+    sc2 = sc.resize(128, 64)
+    assert (sc2.width, sc2.height) == (128, 64)
+    out = None
+    fb = re.create_framebuffer(128, 64, clear_color=(0, 1, 0, 1))
+    for _ in range(sc2.image_count):
+        out = sc2.present(fb)
+    assert out is not None and out.shape == (64, 128, 4)
+
+
+def test_context_config_not_mutated():
+    cfg = re.ContextConfig(compile_cache_dir=None)
+    assert cfg.interpret is None
+    ctx = re.Context(cfg)
+    assert cfg.interpret is None               # caller's object untouched
+    assert ctx.config.interpret is not None    # resolved copy
+
+
+def test_context_submit_retries(caplog):
+    ctx = re.Context(re.ContextConfig(compile_cache_dir=None))
+    calls = []
+
+    def flaky(x):
+        calls.append(1)
+        if len(calls) == 1:
+            import jax.errors
+            raise jax.errors.JaxRuntimeError("transient")
+        return x + 1
+
+    assert ctx.submit(flaky, 1) == 2
+    assert len(calls) == 2
+
+    def dead(x):
+        import jax.errors
+        raise jax.errors.JaxRuntimeError("permanent")
+
+    import jax.errors
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        ctx.submit(dead, 1)
