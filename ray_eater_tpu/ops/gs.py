@@ -45,7 +45,11 @@ TILE_H = 16
 TILE_W = 128
 CHUNK = 128      # splats per kernel grid step
 KX = 2           # max horizontal tile span per splat
-KY = 4           # max vertical tile span per splat
+#: default max vertical tile span per splat. 3 clamps splat radii to 15 px
+#: and is ~1.9x faster end-to-end than 4 (radius ≤ 23 px) at 38.9 dB PSNR
+#: on the 1M-splat benchmark scene (see BENCHLOG.md); pass ky=4+ to
+#: render_gaussians for scenes dominated by large near-camera splats.
+KY = 3
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
@@ -82,7 +86,8 @@ class ProjectedSplats(NamedTuple):
 def project_gaussians(means, scales, quats, opacities, colors,
                       view, proj, width: int, height: int,
                       near: float = 0.05,
-                      max_radius: float | None = None) -> ProjectedSplats:
+                      max_radius: float | None = None,
+                      ky: int = KY) -> ProjectedSplats:
     """EWA splat projection under this framework's camera conventions
     (``rmath.look_at_zforward`` + ``rmath.perspective``: view depth = +z =
     distance in front, y-down NDC). Do NOT pass ``rmath.look_at`` here — it
@@ -151,8 +156,8 @@ def project_gaussians(means, scales, quats, opacities, colors,
     lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
     if max_radius is None:
-        # span limit: a splat may cover at most KX×KY tiles
-        max_radius = min((KY - 1) * TILE_H // 2 - 1,
+        # span limit: a splat may cover at most KX×ky tiles
+        max_radius = min((ky - 1) * TILE_H // 2 - 1,
                          (KX - 1) * TILE_W // 2 - 1)
     radius = jnp.minimum(radius, float(max_radius))
 
@@ -192,7 +197,8 @@ def _sort_records_by_depth(records: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(records, order, axis=0)       # one row-gather
 
 
-def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int):
+def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
+                ky: int = KY):
     """Chunk-aligned tile lists from depth-sorted (N, 16) records.
     Returns (packed_idx (CAP,) int32 splat indices with -1 nulls,
     chunk_tile (CAPC,) int32 with ntiles sentinel, chunk_first (CAPC,)
@@ -210,7 +216,7 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int):
 
     # K candidate tiles per splat (static small fan-out)
     tids = []
-    for dy in range(KY):
+    for dy in range(ky):
         for dx in range(KX):
             ty = ty0 + dy
             tx = tx0 + dx
@@ -255,7 +261,7 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int):
             & jnp.repeat(cid < total_chunks, CHUNK))
     # pair index → splat index is arithmetic: pairs were emitted K per splat
     pair = jnp.take(perm, jnp.where(live, src, 0))              # monotonic
-    packed_idx = jnp.where(live, pair // (KX * KY), -1)
+    packed_idx = jnp.where(live, pair // (KX * ky), -1)
     overflow = jnp.maximum(total_chunks - capc, 0)
     # a tile is visited iff its FIRST chunk fits under the cap — tiles whose
     # chunks overflowed must fall back to background, not garbage
@@ -396,6 +402,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      background=(0.0, 0.0, 0.0),
                      pairs_cap_factor: int | None = None,
                      cam_pos=None,
+                     ky: int = KY,
                      interpret: bool = False) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
@@ -407,6 +414,10 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
 
     ``cam_pos`` (world-space camera position) enables view-dependent SH
     color evaluation when the cloud carries higher-order SH bands.
+
+    ``ky`` caps a splat's vertical tile span (quality/speed knob): smaller
+    ky emits fewer binning pairs (faster sort/pack) but clamps large-splat
+    radii harder — ky=4 allows radius <= 23 px, ky=3 <= 15 px.
     """
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
@@ -414,7 +425,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         colors = eval_sh_colors(cloud, cam_pos)
     ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
                            cloud.opacities, colors, view, proj,
-                           width, height)
+                           width, height, ky=ky)
     records = _sort_records_by_depth(_make_records(ps))
 
     ntx = _pad_to(width, TILE_W) // TILE_W
@@ -422,12 +433,12 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     n = cloud.num_splats
     ntiles = ntx * nty
     if pairs_cap_factor is None:
-        cap_pairs = n * KX * KY + ntiles * CHUNK
+        cap_pairs = n * KX * ky + ntiles * CHUNK
     else:
         cap_pairs = max(pairs_cap_factor * n, 4 * CHUNK) + ntiles * CHUNK
     cap_pairs = _pad_to(cap_pairs, CHUNK)
     packed_idx, chunk_tile, chunk_first, visited, overflow = _bin_splats(
-        records, ntx, nty, cap_pairs)
+        records, ntx, nty, cap_pairs, ky=ky)
     packed = _pack_records(records, packed_idx)
 
     r, g, b, t = _composite_call(packed, chunk_tile, chunk_first,

@@ -160,6 +160,19 @@ def test_pairs_cap_overflow_is_graceful():
     assert np.isfinite(img).all()
 
 
+def test_ky_span_knob():
+    # smaller vertical span = harder radius clamp, still finite + close
+    view, proj = camera()
+    cloud = random_cloud(100, seed=8, extent=0.7, scale_range=(0.02, 0.05))
+    img4 = np.asarray(render_gaussians(cloud, view, proj, W, H, ky=4,
+                                       interpret=True))
+    img3 = np.asarray(render_gaussians(cloud, view, proj, W, H, ky=3,
+                                       interpret=True))
+    assert np.isfinite(img3).all()
+    # small scene, small radii: outputs nearly identical
+    assert np.abs(img4 - img3).mean() < 0.01
+
+
 def test_ply_roundtrip(tmp_path):
     cloud = random_cloud(64, seed=9)
     path = str(tmp_path / "scene.ply")
