@@ -198,7 +198,7 @@ def _sort_records_by_depth(records: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
-                ky: int = KY):
+                ky: int = KY, max_per_tile: int | None = None):
     """Chunk-aligned tile lists from depth-sorted (N, 16) records.
     Returns (packed_idx (CAP,) int32 splat indices with -1 nulls,
     chunk_tile (CAPC,) int32 with ntiles sentinel, chunk_first (CAPC,)
@@ -238,6 +238,13 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tid, tvec, side="left")  # (ntiles+1,)
     count = start[1:] - start[:-1]                           # (ntiles,)
+    if max_per_tile is not None:
+        # per-tile depth-ordered LOD drop: splats are front-to-back within
+        # each tile's run, so capping the count discards the FARTHEST
+        # splats of pathological tiles — never whole tiles (contrast the
+        # global cap_pairs tail-drop). Also hard-bounds total chunks at
+        # ntiles * ceil(max_per_tile / CHUNK).
+        count = jnp.minimum(count, max_per_tile)
     nchunks = (count + CHUNK - 1) // CHUNK
     chunk_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                  jnp.cumsum(nchunks).astype(jnp.int32)])
@@ -253,7 +260,7 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
     chunk_tile = jnp.where(cid < total_chunks, owner, ntiles)
     chunk_first = (cid == chunk_off[owner]).astype(jnp.int32)
     src_base = start[owner] + (cid - chunk_off[owner]) * CHUNK  # (capc,)
-    src_end = start[owner + 1]                                  # (capc,)
+    src_end = start[owner] + count[owner]                       # (capc,)
 
     lane = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), capc)   # (CAP,)
     src = jnp.repeat(src_base, CHUNK) + lane
@@ -403,6 +410,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      pairs_cap_factor: int | None = None,
                      cam_pos=None,
                      ky: int = KY,
+                     max_splats_per_tile: int | None = None,
                      interpret: bool = False) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
@@ -418,15 +426,24 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     ``ky`` caps a splat's vertical tile span (quality/speed knob): smaller
     ky emits fewer binning pairs (faster sort/pack) but clamps large-splat
     radii harder — ky=4 allows radius <= 23 px, ky=3 <= 15 px.
+
+    ``max_splats_per_tile`` caps each tile's depth-sorted list, discarding
+    only the *farthest* splats of over-deep tiles (graceful LOD) while
+    hard-bounding binning memory — the safe way to trade far-splat detail
+    for throughput (the global ``pairs_cap_factor`` tail-drop can lose
+    whole tiles and is kept for memory emergencies only).
     """
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
         from ..models.gaussians import eval_sh_colors
-        colors = eval_sh_colors(cloud, cam_pos)
-    ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
-                           cloud.opacities, colors, view, proj,
-                           width, height, ky=ky)
-    records = _sort_records_by_depth(_make_records(ps))
+        with jax.named_scope("gs.sh_colors"):
+            colors = eval_sh_colors(cloud, cam_pos)
+    with jax.named_scope("gs.project"):
+        ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
+                               cloud.opacities, colors, view, proj,
+                               width, height, ky=ky)
+    with jax.named_scope("gs.depth_sort"):
+        records = _sort_records_by_depth(_make_records(ps))
 
     ntx = _pad_to(width, TILE_W) // TILE_W
     nty = _pad_to(height, TILE_H) // TILE_H
@@ -436,13 +453,21 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         cap_pairs = n * KX * ky + ntiles * CHUNK
     else:
         cap_pairs = max(pairs_cap_factor * n, 4 * CHUNK) + ntiles * CHUNK
+    if max_splats_per_tile is not None:
+        # per-tile cap hard-bounds the chunk-aligned total
+        cap_pairs = min(cap_pairs,
+                        ntiles * _pad_to(max_splats_per_tile, CHUNK))
     cap_pairs = _pad_to(cap_pairs, CHUNK)
-    packed_idx, chunk_tile, chunk_first, visited, overflow = _bin_splats(
-        records, ntx, nty, cap_pairs, ky=ky)
-    packed = _pack_records(records, packed_idx)
+    with jax.named_scope("gs.bin"):
+        packed_idx, chunk_tile, chunk_first, visited, overflow = _bin_splats(
+            records, ntx, nty, cap_pairs, ky=ky,
+            max_per_tile=max_splats_per_tile)
+    with jax.named_scope("gs.pack"):
+        packed = _pack_records(records, packed_idx)
 
-    r, g, b, t = _composite_call(packed, chunk_tile, chunk_first,
-                                 nty, ntx, interpret)
+    with jax.named_scope("gs.composite"):
+        r, g, b, t = _composite_call(packed, chunk_tile, chunk_first,
+                                     nty, ntx, interpret)
     # tiles no chunk ever visited keep garbage — mask (in tile-flat layout,
     # one row per tile) before untiling
     vis = jnp.concatenate([visited, jnp.zeros((1,), bool)])[:, None, None]

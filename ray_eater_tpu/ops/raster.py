@@ -315,20 +315,25 @@ def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
     """Draw one mesh through a graphics pipeline into ``fb`` — the analog of
     the reference's bind-and-drawIndexed sequence (basic_planes.zig:329-335).
     Fully jittable; compose under jax.jit / the render graph."""
-    clip, varyings = pipe.vertex_fn(mesh_.positions, mesh_.attributes,
-                                    uniforms)
+    with jax.named_scope("raster.vertex"):
+        clip, varyings = pipe.vertex_fn(mesh_.positions, mesh_.attributes,
+                                        uniforms)
     state = pipe.state
-    setup, inv_w, z_tri = _triangle_setup(clip, mesh_.indices, state,
-                                          fb.width, fb.height)
+    with jax.named_scope("raster.setup"):
+        setup, inv_w, z_tri = _triangle_setup(clip, mesh_.indices, state,
+                                              fb.width, fb.height)
     last_wins = not state.depth_test
     depth_cmp = state.depth_compare
     if depth_cmp is CompareOp.ALWAYS:
         last_wins = True
-    gdepth, gtri, gl0, gl1 = _raster_call(
-        setup, fb.depth, fb.width, fb.height,
-        depth_test=state.depth_test, last_wins=last_wins,
-        interpret=interpret,
-        less_equal=depth_cmp is CompareOp.LESS_EQUAL)
-    return _shade(pipe, fb, gdepth, gtri, gl0, gl1, varyings, mesh_.indices,
-                  inv_w, resources,
-                  z_tri=z_tri if (last_wins and state.depth_write) else None)
+    with jax.named_scope("raster.kernel"):
+        gdepth, gtri, gl0, gl1 = _raster_call(
+            setup, fb.depth, fb.width, fb.height,
+            depth_test=state.depth_test, last_wins=last_wins,
+            interpret=interpret,
+            less_equal=depth_cmp is CompareOp.LESS_EQUAL)
+    with jax.named_scope("raster.shade"):
+        return _shade(pipe, fb, gdepth, gtri, gl0, gl1, varyings,
+                      mesh_.indices, inv_w, resources,
+                      z_tri=z_tri if (last_wins and state.depth_write)
+                      else None)

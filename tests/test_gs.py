@@ -173,6 +173,32 @@ def test_ky_span_knob():
     assert np.abs(img4 - img3).mean() < 0.01
 
 
+def test_max_splats_per_tile_lod():
+    # per-tile cap: dropping the farthest splats of deep tiles — the near
+    # (opaque) splat must survive, and output stays finite everywhere
+    view, proj = camera()
+    # 200 coincident splats stacked in depth at screen center (more than
+    # one CHUNK, so a CHUNK-sized cap actually drops the far tail)
+    n = 200
+    means = np.zeros((n, 3), np.float32)
+    means[:, 2] = np.linspace(-0.5, 0.5, n)    # nearest first at z=-0.5
+    cloud = gaussian_cloud(means, np.full((n, 3), 0.08),
+                           [[1, 0, 0, 0]] * n, [0.4] * n,
+                           np.linspace([1, 0, 0], [0, 0, 1], n))
+    full = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                       interpret=True))
+    capped = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                         max_splats_per_tile=gs.CHUNK,
+                                         interpret=True))
+    assert np.isfinite(capped).all()
+    c_full = full[H // 2, W // 2]
+    c_cap = capped[H // 2, W // 2]
+    # near splats dominate; capping far ones changes little at the center
+    assert np.abs(c_full - c_cap).max() < 0.1, (c_full, c_cap)
+    # and the capped image is not identical (far splats were dropped)
+    assert not np.allclose(full, capped)
+
+
 def test_ply_roundtrip(tmp_path):
     cloud = random_cloud(64, seed=9)
     path = str(tmp_path / "scene.ply")
