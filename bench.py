@@ -41,20 +41,21 @@ def main():
 
     cloud = random_cloud(n, seed=1, extent=1.0, scale_range=(0.004, 0.02))
 
+    # camera math lives INSIDE the jitted frame: eager rmath calls are each
+    # a tiny device dispatch — through this tunnel that costs ~100 ms/frame
     @jax.jit
-    def frame(view, proj):
+    def frame(t):
+        import jax.numpy as jnp
+        ang = rmath.radians(30.0) * t
+        eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
+                         2.5 * jnp.sin(ang)])
+        view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
+        proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
         return render_gaussians(cloud, view, proj, W, H,
                                 interpret=interpret)
 
-    def camera(t):
-        ang = float(rmath.radians(30.0)) * t
-        eye = rmath.vec(2.5 * np.cos(ang), 0.8, 2.5 * np.sin(ang))
-        view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
-        proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
-        return view, proj
-
     t0 = time.perf_counter()
-    img = frame(*camera(0.0))
+    img = frame(np.float32(0.0))
     jax.block_until_ready(img)
     log(f"compile+first frame: {time.perf_counter() - t0:.1f}s")
 
@@ -64,7 +65,7 @@ def main():
     for window in range(2):
         t0 = time.perf_counter()
         for i in range(frames):
-            img = frame(*camera(i / 60.0))
+            img = frame(np.float32(i / 60.0))
         jax.block_until_ready(img)
         dt = time.perf_counter() - t0
         fps = max(fps, frames / dt)

@@ -31,10 +31,13 @@ log = scoped("application")
 
 
 def orbit_camera(t, radius=2.5, height=0.8, fov_deg=60.0, aspect=16 / 9):
-    """Flythrough path: orbit around the scene origin."""
+    """Flythrough path: orbit around the scene origin. jax-traceable in t —
+    call it INSIDE the jitted frame; eager per-frame camera math costs
+    ~100 ms/frame in tiny device dispatches through the tunnel."""
+    import jax.numpy as jnp
     ang = rmath.radians(30.0) * t
-    eye = rmath.vec(radius * np.cos(float(ang)), height,
-                    radius * np.sin(float(ang)))
+    eye = jnp.stack([radius * jnp.cos(ang), jnp.float32(height),
+                     radius * jnp.sin(ang)])
     view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
     proj = rmath.perspective(rmath.radians(fov_deg), aspect, 0.05, 50.0)
     return view, proj, eye
@@ -65,23 +68,22 @@ def main(argv=None):
     log.info("scene: %d splats", n)
 
     @jax.jit
-    def frame_program(view, proj, eye):
+    def frame_program(t):
+        view, proj, eye = orbit_camera(t, aspect=W / H)
         return render_gaussians(cloud, view, proj, W, H,
                                 background=(0.0, 0.0, 0.0),
                                 cam_pos=eye,   # view-dependent SH colors
                                 interpret=interpret)
 
     os.makedirs(args.out, exist_ok=True)
-    view, proj, eye = orbit_camera(0.0, aspect=W / H)
-    img = frame_program(view, proj, eye)
+    img = frame_program(np.float32(0.0))
     ctx.wait_idle(img)
     log.info("compiled gs frame program on %s", ctx.device)
 
     t0 = time.perf_counter()
     for i in range(args.frames):
         t = 0.0 if args.static_camera else i / 60.0
-        view, proj, eye = orbit_camera(t, aspect=W / H)
-        img = frame_program(view, proj, eye)
+        img = frame_program(np.float32(t))
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 

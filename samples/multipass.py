@@ -106,6 +106,7 @@ def main(argv=None):
     frame = graph.bake()
     log.info("baked: %s", frame.pass_names)
 
+    @jax.jit
     def uniforms(t):
         return {
             "model": rmath.rotate_y(rmath.identity(),
