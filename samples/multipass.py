@@ -87,6 +87,20 @@ def main(argv=None):
         state=re.RasterState(depth_compare=re.CompareOp.LESS_EQUAL),
         name="lit")
 
+    def setup(i):
+        # per-frame state built in-trace: the only external is the scalar
+        # time, so each frame is exactly ONE device dispatch
+        t = i["t"]
+        uniforms = {
+            "model": rmath.rotate_y(rmath.identity(),
+                                    rmath.radians(30.0) * t),
+            "view": rmath.look_at(rmath.vec(2.0, 2.0, 2.0),
+                                  rmath.vec(0.0, 0.0, 0.0)),
+            "projection": rmath.perspective(rmath.radians(45.0), W / H,
+                                            0.1, 30.0),
+        }
+        return {"fb": re.create_framebuffer(W, H), "uniforms": uniforms}
+
     def prepass(i):
         return {"fb": re.render_mesh(depth_only, scene, i["uniforms"], {},
                                      i["fb"], interpret=interpret)}
@@ -97,7 +111,9 @@ def main(argv=None):
                                      interpret=interpret)}
 
     graph = (RenderGraph("prepass_lit")
-             .external("fb", "uniforms")
+             .external("t")
+             .add_pass("setup", setup, reads=("t",),
+                       writes=("fb", "uniforms"))
              .add_pass("depth_prepass", prepass, reads=("fb", "uniforms"),
                        writes=("fb",))
              .add_pass("lit", litpass, reads=("fb", "uniforms"),
@@ -106,29 +122,16 @@ def main(argv=None):
     frame = graph.bake()
     log.info("baked: %s", frame.pass_names)
 
-    @jax.jit
-    def uniforms(t):
-        return {
-            "model": rmath.rotate_y(rmath.identity(),
-                                    rmath.radians(30.0) * t),
-            "view": rmath.look_at(rmath.vec(2.0, 2.0, 2.0),
-                                  rmath.vec(0.0, 0.0, 0.0)),
-            "projection": rmath.perspective(rmath.radians(45.0), W / H,
-                                            0.1, 30.0),
-        }
-
     sc = re.Swapchain(ctx, W, H)
     os.makedirs(args.out, exist_ok=True)
 
-    fb = frame(fb=re.create_framebuffer(W, H),
-               uniforms=uniforms(np.float32(0.0)))["fb"]
+    fb = frame(t=np.float32(0.0))["fb"]
     ctx.wait_idle(fb.color)
 
     t0 = time.perf_counter()
     img = None
     for i in range(args.frames):
-        fb = frame(fb=re.create_framebuffer(W, H),
-                   uniforms=uniforms(np.float32(i / 60.0)))["fb"]
+        fb = frame(t=np.float32(i / 60.0))["fb"]
         if not args.no_present:
             out = sc.present(fb)
             img = out if out is not None else img
