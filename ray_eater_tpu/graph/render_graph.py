@@ -29,7 +29,7 @@ insertion order (the "submission order" analog).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 

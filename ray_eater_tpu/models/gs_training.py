@@ -20,9 +20,6 @@ next step; this path trains small/medium clouds and defines the API.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

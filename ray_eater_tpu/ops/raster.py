@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import pad_to as _pad_to
-from ..core.pipeline import (BlendMode, CompareOp, CullMode, FrontFace,
+from ..core.pipeline import (CompareOp, CullMode, FrontFace,
                              GraphicsPipeline, blend_color)
 from ..core.resources import Framebuffer
 from ..models.mesh import Mesh

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.resources import AddressMode, Filter, Sampler, Texture
+from ..core.resources import AddressMode, Filter, Texture
 
 
 def _wrap(i: jnp.ndarray, n: int, mode: AddressMode) -> jnp.ndarray:

@@ -20,8 +20,6 @@ replicated geometry). All functions run unmodified on a virtual CPU mesh
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
