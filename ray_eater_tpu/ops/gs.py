@@ -55,7 +55,9 @@ _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
 
 # record columns (records are (N, 16) rows — one contiguous 64-byte row
-# per splat so every binning gather is a row DMA, not 10 scalar gathers)
+# per splat so every binning gather is a row DMA, not 10 scalar gathers).
+# NOTE: 12 columns would suffice but (CHUNK, 12) record blocks produce
+# wrong results in this Mosaic version — keep the 16-column layout.
 _MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2, _VAL, _RAD, _DEPTH = range(12)
 _ROWS = 16
 
