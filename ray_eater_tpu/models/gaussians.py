@@ -211,16 +211,19 @@ def _read_ply_vertices(path: str):
         props: list[str] = []
         n = 0
         fmt = None
+        in_vertex = False
         while True:
             line = f.readline().decode("ascii", "replace").strip()
             if line.startswith("format"):
                 fmt = line.split()[1]
             elif line.startswith("element vertex"):
                 n = int(line.split()[-1])
-            elif line.startswith("element") and n:
-                raise ValueError("non-vertex elements after vertices "
-                                 "unsupported before end_header")
-            elif line.startswith("property") and n:
+                in_vertex = True
+            elif line.startswith("element"):
+                # trailing non-vertex elements (e.g. "element face 0") are
+                # fine: vertex data precedes them, we read only that
+                in_vertex = False
+            elif line.startswith("property") and in_vertex:
                 kind, name = line.split()[1], line.split()[-1]
                 if kind != "float":
                     raise ValueError(f"non-float property {name}")

@@ -26,9 +26,6 @@ import jax.numpy as jnp
 from ..core.resources import pytree_dataclass
 from ..ops.gs import project_gaussians
 from .gaussians import GaussianCloud
-from ..utils.logging import scoped
-
-_log = scoped("gs")
 
 
 @pytree_dataclass

@@ -134,7 +134,6 @@ int64_t re_png_encode(const uint8_t* pixels, int32_t h, int32_t w,
   const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   png.insert(png.end(), sig, sig + 8);
   uint8_t ihdr[13];
-  ihdr[0] = h >> 0, ihdr[0] = 0;  // filled below
   // width, height big-endian
   ihdr[0] = w >> 24; ihdr[1] = w >> 16; ihdr[2] = w >> 8; ihdr[3] = w;
   ihdr[4] = h >> 24; ihdr[5] = h >> 16; ihdr[6] = h >> 8; ihdr[7] = h;
@@ -188,6 +187,8 @@ int re_png_decode(const uint8_t* buf, int64_t len, int32_t h, int32_t w,
   while (pos + 12 <= len) {
     uint32_t clen = (buf[pos] << 24) | (buf[pos + 1] << 16)
                     | (buf[pos + 2] << 8) | buf[pos + 3];
+    // bounds: a corrupt length field must not read past the buffer
+    if ((int64_t)clen > len - pos - 12) return -4;
     const uint8_t* type = buf + pos + 4;
     if (memcmp(type, "IDAT", 4) == 0)
       idat.insert(idat.end(), buf + pos + 8, buf + pos + 8 + clen);

@@ -400,6 +400,21 @@ def _composite_call(records, chunk_tile, chunk_first, nty, ntx, interpret):
     )(chunk_tile, chunk_first, records)
 
 
+def finalize_planes(r, g, b, t, visited, nty: int, ntx: int,
+                    background) -> jnp.ndarray:
+    """Shared composite tail: mask never-visited tiles (garbage blocks) to
+    background, untile the flat planes, and blend the background through
+    the remaining transmittance. Used by both the single-device and the
+    sharded render paths."""
+    vis = jnp.concatenate([visited, jnp.zeros((1,), bool)])[:, None, None]
+    rgbt = [jnp.where(vis, p, 0.0 if i < 3 else 1.0)
+            for i, p in enumerate((r, g, b, t))]
+    planes = [_untile(p, nty, ntx) for p in rgbt]
+    rgb = jnp.stack(planes[:3], -1)
+    bg = jnp.asarray(background, jnp.float32)
+    return rgb + planes[3][..., None] * bg
+
+
 def _untile(plane: jnp.ndarray, nty: int, ntx: int) -> jnp.ndarray:
     """(ntiles+1, 1, 2048) tile-flattened → (nty*16, ntx*128) image plane
     (one cheap XLA transpose in HBM)."""
@@ -470,13 +485,5 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     with jax.named_scope("gs.composite"):
         r, g, b, t = _composite_call(packed, chunk_tile, chunk_first,
                                      nty, ntx, interpret)
-    # tiles no chunk ever visited keep garbage — mask (in tile-flat layout,
-    # one row per tile) before untiling
-    vis = jnp.concatenate([visited, jnp.zeros((1,), bool)])[:, None, None]
-    rgbt = [jnp.where(vis, p, 0.0 if i < 3 else 1.0)
-            for i, p in enumerate((r, g, b, t))]
-    planes = [_untile(p, nty, ntx) for p in rgbt]
-    rgb = jnp.stack(planes[:3], -1)
-    bg = jnp.asarray(background, jnp.float32)
-    img = rgb + planes[3][..., None] * bg
+    img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
     return img[:height, :width]

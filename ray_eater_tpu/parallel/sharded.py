@@ -28,10 +28,6 @@ from ..core.resources import Framebuffer
 from ..models.mesh import Mesh as GeoMesh
 from ..ops import gs as gs_ops
 from ..utils import pad_to as _pad_to
-from ..utils.logging import scoped
-
-_log = scoped("parallel")
-
 
 def make_device_mesh(n_devices: int | None = None,
                      axis: str = "d") -> Mesh:
@@ -42,13 +38,20 @@ def make_device_mesh(n_devices: int | None = None,
 
 def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              mesh: Mesh, background=(0.0, 0.0, 0.0),
+                             cam_pos=None, ky: int | None = None,
+                             max_splats_per_tile: int | None = None,
                              interpret: bool = False) -> jnp.ndarray:
     """Sharded GaussianCloud render → (height, width, 3) on the mesh.
+    Feature parity with :func:`ray_eater_tpu.ops.gs.render_gaussians`:
+    ``cam_pos`` enables view-dependent SH colors, ``ky`` the span/radius
+    knob, ``max_splats_per_tile`` the per-tile LOD cap.
 
     Splats must be divisible by mesh size (pad the cloud if needed); the
     framebuffer row-band split requires padded height divisible by
     D*TILE_H.
     """
+    if ky is None:
+        ky = gs_ops.KY
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
     nty_total = _pad_to(height, gs_ops.TILE_H) // gs_ops.TILE_H
@@ -60,15 +63,24 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     if n % d:
         raise ValueError(f"splat count {n} not divisible by mesh size {d}")
 
-    cap_pairs = _pad_to(n * gs_ops.KX * gs_ops.KY
-                        + nty_local * ntx * gs_ops.CHUNK, gs_ops.CHUNK)
+    cap_pairs = n * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
+    if max_splats_per_tile is not None:
+        cap_pairs = min(cap_pairs, nty_local * ntx
+                        * _pad_to(max_splats_per_tile, gs_ops.CHUNK))
+    cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK)
 
-    def local_render(means, scales, quats, opac, colors):
+    def local_render(means, scales, quats, opac, colors, sh_rest):
         # --- splat-parallel projection + gather (one ICI all_gather of the
         # packed record matrix) ---
+        if cam_pos is not None and sh_rest is not None:
+            from ..models.gaussians import GaussianCloud, eval_sh_colors
+            colors = eval_sh_colors(
+                GaussianCloud(means=means, scales=scales, quats=quats,
+                              opacities=opac, colors=colors,
+                              sh_rest=sh_rest), cam_pos)
         ps_local = gs_ops.project_gaussians(means, scales, quats, opac,
                                             colors, view, proj,
-                                            width, height)
+                                            width, height, ky=ky)
         rec_local = gs_ops._make_records(ps_local)
         records = jax.lax.all_gather(rec_local, axis, axis=0, tiled=True)
         records = gs_ops._sort_records_by_depth(records)
@@ -84,26 +96,24 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         records = records.at[:, gs_ops._MY].add(-y0)
 
         packed_idx, chunk_tile, chunk_first, visited, _ = \
-            gs_ops._bin_splats(records, ntx, nty_local, cap_pairs)
+            gs_ops._bin_splats(records, ntx, nty_local, cap_pairs, ky=ky,
+                               max_per_tile=max_splats_per_tile)
         packed = gs_ops._pack_records(records, packed_idx)
         r_, g_, b_, t_ = gs_ops._composite_call(
             packed, chunk_tile, chunk_first, nty_local, ntx, interpret)
-        vis = jnp.concatenate([visited, jnp.zeros((1,), bool)]
-                              )[:, None, None]
-        rgbt = [jnp.where(vis, p, 0.0 if i < 3 else 1.0)
-                for i, p in enumerate((r_, g_, b_, t_))]
-        planes = [gs_ops._untile(p, nty_local, ntx) for p in rgbt]
-        rgb = jnp.stack(planes[:3], -1)
-        bg = jnp.asarray(background, jnp.float32)
-        return rgb + planes[3][..., None] * bg           # (band_px, Wp, 3)
+        return gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
+                                      ntx, background)  # (band_px, Wp, 3)
 
     spec_splat = P(axis)
+    sh = getattr(cloud, "sh_rest", None)
     out = jax.shard_map(
         local_render, mesh=mesh,
-        in_specs=(spec_splat,) * 5,
+        in_specs=(spec_splat,) * 5 + ((spec_splat,) if sh is not None
+                                      else (P(),)),
         out_specs=P(axis, None, None),
         check_vma=False,
-    )(cloud.means, cloud.scales, cloud.quats, cloud.opacities, cloud.colors)
+    )(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
+      cloud.colors, sh)
     return out[:height, :width]
 
 

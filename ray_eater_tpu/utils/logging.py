@@ -38,7 +38,11 @@ def configure(level: int | str | None = None) -> None:
     handler.setFormatter(
         logging.Formatter("%(levelname).1s %(name)s: %(message)s"))
     root.addHandler(handler)
-    root.setLevel(level)
+    try:
+        root.setLevel(level)
+    except ValueError:   # bad $RAYEATER_LOG must not break imports
+        root.setLevel(logging.WARNING)
+        root.warning("unknown RAYEATER_LOG level %r; using WARNING", level)
 
 
 configure()

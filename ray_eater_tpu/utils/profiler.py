@@ -20,10 +20,6 @@ from collections import defaultdict, deque
 
 import jax
 
-from .logging import scoped
-
-_log = scoped("bench")
-
 
 @contextlib.contextmanager
 def annotate(name: str):

@@ -2,10 +2,13 @@
 
 The reference mandates VK_LAYER_KHRONOS_validation at instance creation
 (context.zig:145-147) and fails init without it. The TPU equivalent is
-split: *static* checks at graph bake time (graph/render_graph.py — DAG
-acyclicity, undefined reads, hazard ordering), and this module's *runtime*
-checks: NaN/Inf detection on pass outputs and shape/dtype assertions on
-resources — enabled per-Context (``ContextConfig.validation``) or globally.
+split: *static* checks always run at graph bake time
+(graph/render_graph.py — DAG acyclicity, undefined reads, hazard ordering),
+and this module provides *opt-in runtime* checks — wrap passes with
+:func:`checked_pass`, call :func:`check_finite`/:func:`check_framebuffer`
+at frame boundaries, or flip :func:`enable_nan_debugging` globally. Runtime
+checks force a device sync per call, so they are tools for debug sessions,
+not defaults.
 """
 
 from __future__ import annotations
