@@ -171,7 +171,12 @@ def load_ply(path: str) -> GaussianCloud:
 
 
 def save_ply(path: str, cloud: GaussianCloud) -> None:
-    """Write a 3DGS PLY (binary little-endian), inverse activations."""
+    """Write a 3DGS PLY (binary little-endian), inverse activations.
+
+    Property order matches the INRIA 3DGS exporter exactly —
+    x,y,z, nx,ny,nz (zero-filled normals), f_dc, f_rest, opacity,
+    scale, rot — so strict offset-based third-party readers parse it,
+    not just name-based ones like this repo's loader."""
     means = np.asarray(cloud.means, np.float32)
     colors = np.asarray(cloud.colors, np.float32)
     opac = np.clip(np.asarray(cloud.opacities, np.float32), 1e-6, 1 - 1e-6)
@@ -179,14 +184,17 @@ def save_ply(path: str, cloud: GaussianCloud) -> None:
     quats = np.asarray(cloud.quats, np.float32)
     f_dc = (colors - 0.5) / SH_C0
     logit = np.log(opac / (1 - opac))
-    parts = [means, f_dc, logit[:, None], np.log(scales), quats]
-    props = list(_PLY_PROPS)
+    normals = np.zeros_like(means)
+    parts = [means, normals, f_dc]
+    props = ["x", "y", "z", "nx", "ny", "nz", "f_dc_0", "f_dc_1", "f_dc_2"]
     if cloud.sh_rest is not None:
         rest = np.asarray(cloud.sh_rest, np.float32)          # (N, B, 3)
         b = rest.shape[1]
-        parts.insert(3, rest.transpose(0, 2, 1).reshape(len(means), -1))
-        props = (props[:7] + [f"f_rest_{i}" for i in range(3 * b)]
-                 + props[7:])
+        parts.append(rest.transpose(0, 2, 1).reshape(len(means), -1))
+        props += [f"f_rest_{i}" for i in range(3 * b)]
+    parts += [logit[:, None], np.log(scales), quats]
+    props += ["opacity", "scale_0", "scale_1", "scale_2",
+              "rot_0", "rot_1", "rot_2", "rot_3"]
     rec = np.concatenate(parts, -1).astype("<f4")
     n = len(rec)
     header = ["ply", "format binary_little_endian 1.0",

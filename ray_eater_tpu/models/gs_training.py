@@ -96,6 +96,15 @@ def render_diff(params: GaussianParams, view, proj, width: int, height: int,
         dy = ys[:, None, None] - my[None, None, :]       # (R, 1, N)
         power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy)
         alpha = jnp.minimum(op * jnp.exp(power), 0.99)   # (R, W, N)
+        # match the production compositor's 1/255 alpha floor (ops/gs.py
+        # _ALPHA_MIN) with a straight-through mask so a trained scene
+        # renders identically through render_gaussians; gradients still
+        # flow for contributions above the floor. Remaining known delta vs
+        # the Pallas path: tile-footprint truncation (radius clamp) is
+        # shared via project_gaussians, so only sub-floor tails differ.
+        keep = jax.lax.stop_gradient(
+            (alpha >= 1.0 / 255.0).astype(alpha.dtype))
+        alpha = alpha * keep
         logT = jnp.cumsum(jnp.log1p(-alpha), axis=-1)
         t_prev = jnp.exp(logT - jnp.log1p(-alpha))       # exclusive prefix
         w = alpha * t_prev                               # (R, W, N)

@@ -22,6 +22,27 @@ _lib = None
 _tried = False
 
 
+def _build_locked():
+    """Run make under an exclusive flock so concurrent first-use builds
+    (parallel pytest workers, a sample plus a bench run) can't race g++
+    writing librayeater.so and corrupt it. The Makefile itself links to a
+    temp file and renames into place, so readers never see a partial .so;
+    the lock just serializes the compilers."""
+    import fcntl
+    with open(os.path.join(_DIR, ".build.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            # another process may have finished the build while we waited
+            if os.path.exists(_SO) and (
+                    os.path.getmtime(_SO) >= os.path.getmtime(
+                        os.path.join(_DIR, "src", "rayeater_native.cpp"))):
+                return
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
@@ -31,8 +52,7 @@ def _load():
             os.path.getmtime(_SO) < os.path.getmtime(
                 os.path.join(_DIR, "src", "rayeater_native.cpp"))):
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True, timeout=120)
+            _build_locked()
         except Exception as e:  # no toolchain → pure-python fallback
             _log.warning("native build failed (%s); using python paths", e)
             return None

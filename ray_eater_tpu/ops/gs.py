@@ -248,13 +248,27 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
         # ntiles * ceil(max_per_tile / CHUNK).
         count = jnp.minimum(count, max_per_tile)
     nchunks = (count + CHUNK - 1) // CHUNK
+    capc = cap_pairs // CHUNK
+    total_need = jnp.sum(nchunks)
+    overflow = jnp.maximum(total_need - capc, 0)
+    # graceful degradation under a tight cap: scale every tile's chunk
+    # budget by capc/total_need, dropping the FARTHEST chunks of each
+    # tile proportionally (splats are depth-ordered within a run) instead
+    # of losing whole tiles off the end of the chunk array (which cost
+    # 16.7 dB in round 1, BENCHLOG.md). Exact when total_need <= capc.
+    scale_num = jnp.minimum(total_need, capc)
+    nchunks = jnp.where(
+        total_need > capc,
+        jnp.maximum((nchunks * scale_num) // jnp.maximum(total_need, 1),
+                    jnp.minimum(nchunks, 1)),
+        nchunks)
+    count = jnp.minimum(count, nchunks * CHUNK)
     chunk_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                  jnp.cumsum(nchunks).astype(jnp.int32)])
     total_chunks = chunk_off[-1]
 
     # chunk maps + gather-based packing (scatter-free): destination slot d
     # in chunk c of tile t reads sorted pair start[t] + (d - dst_base(t,c))
-    capc = cap_pairs // CHUNK
     cid = jnp.arange(capc, dtype=jnp.int32)
     owner = jnp.searchsorted(chunk_off, cid, side="right").astype(
         jnp.int32) - 1
@@ -271,7 +285,6 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
     # pair index → splat index is arithmetic: pairs were emitted K per splat
     pair = jnp.take(perm, jnp.where(live, src, 0))              # monotonic
     packed_idx = jnp.where(live, pair // (KX * ky), -1)
-    overflow = jnp.maximum(total_chunks - capc, 0)
     # a tile is visited iff its FIRST chunk fits under the cap — tiles whose
     # chunks overflowed must fall back to background, not garbage
     visited = (count > 0) & (chunk_off[:-1] < capc)          # (ntiles,)
@@ -428,6 +441,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      cam_pos=None,
                      ky: int = KY,
                      max_splats_per_tile: int | None = None,
+                     return_stats: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
@@ -446,9 +460,15 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
 
     ``max_splats_per_tile`` caps each tile's depth-sorted list, discarding
     only the *farthest* splats of over-deep tiles (graceful LOD) while
-    hard-bounding binning memory — the safe way to trade far-splat detail
-    for throughput (the global ``pairs_cap_factor`` tail-drop can lose
-    whole tiles and is kept for memory emergencies only).
+    hard-bounding binning memory. An undersized ``pairs_cap_factor`` now
+    also degrades gracefully: every tile's chunk budget is scaled
+    proportionally (dropping farthest chunks per tile), never whole tiles.
+
+    ``return_stats=True`` additionally returns a dict with
+    ``overflow_chunks`` (device scalar: how many 128-splat chunks the cap
+    dropped this frame — 0 means the render was exact) so cap overflows
+    are detectable at runtime instead of silently degrading (the 16.7 dB
+    incident, BENCHLOG.md).
     """
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
@@ -486,4 +506,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         r, g, b, t = _composite_call(packed, chunk_tile, chunk_first,
                                      nty, ntx, interpret)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
-    return img[:height, :width]
+    img = img[:height, :width]
+    if return_stats:
+        return img, {"overflow_chunks": overflow,
+                     "live_pairs": jnp.sum(packed_idx >= 0)}
+    return img

@@ -22,10 +22,11 @@ vkCmdDrawIndexed + fixed-function raster + fragment dispatch
 
 Vulkan semantics preserved: pixel centers at +0.5, viewport y-down NDC,
 depth in [0,1], clockwise-front/back-cull (graphics_pipeline.zig:137-140),
-depth compare LESS (graphics_pipeline.zig:262). Known deltas (documented):
-no top-left fill rule (shared edges may shade twice — harmless with
-blending off), and no near-plane clipping yet — triangles with any w ≤ eps
-are culled whole instead of clipped.
+depth compare LESS (graphics_pipeline.zig:262), near-plane clipping
+(z_clip = 0 in homogeneous space, 1 → ≤2 triangles, exact attribute
+interpolation via clip-barycentric mixing). Known delta (documented): no
+top-left fill rule (shared edges may shade twice — harmless with blending
+off).
 """
 
 from __future__ import annotations
@@ -71,16 +72,97 @@ def viewport_transform(clip: jnp.ndarray, width: int, height: int):
     return jnp.stack([x, y], -1), ndc[..., 2], inv_w
 
 
+def _clip_near(tri_clip: jnp.ndarray):
+    """Clip (T, 3, 4) clip-space triangles against the near plane z = 0.
+
+    Vulkan's fixed-function clipper (the view-volume clip the reference
+    inherits via its graphics pipeline, graphics_pipeline.zig:88-111) splits
+    primitives crossing z_clip = 0; x/y planes are handled downstream by
+    the scissor/tile bounds. Each input triangle yields up to two output
+    triangles, returned stacked as (2T, 3, 4) — slot t is the primary
+    (identity for fully-inside triangles), slot T+t the secondary from the
+    two-inside case. Also returns ``bary`` (2T, 3, 3): row i of triangle j
+    holds corner i's barycentric coordinates w.r.t. the ORIGINAL corners
+    (clipping lerps homogeneously, so attributes mix with the same
+    weights), and ``valid`` (2T,) bool.
+    """
+    t3 = tri_clip.shape[0]
+    z = tri_clip[..., 2]                               # (T, 3)
+    inside = z >= 0.0
+    count = inside.sum(-1).astype(jnp.int32)           # (T,)
+
+    # rotate so the canonical layout holds: count==1 → inside vertex at
+    # slot 0; count==2 → outside vertex at slot 2 (cyclic → preserves
+    # winding)
+    first_in = jnp.argmax(inside, -1).astype(jnp.int32)
+    first_out = jnp.argmax(~inside, -1).astype(jnp.int32)
+    rot = jnp.where(count == 1, first_in,
+                    jnp.where(count == 2, (first_out + 1) % 3, 0))
+    perm = (rot[:, None] + jnp.arange(3, dtype=jnp.int32)[None]) % 3
+    v = jnp.take_along_axis(tri_clip, perm[..., None], axis=1)  # (T,3,4)
+    zv = v[..., 2]
+
+    def isect(a, b, za, zb):
+        """Lerp factor t with z=0 on segment a→b (guarded)."""
+        den = za - zb
+        t = za / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+        return jnp.clip(t, 0.0, 1.0)[:, None]
+
+    t01 = isect(v[:, 0], v[:, 1], zv[:, 0], zv[:, 1])
+    t12 = isect(v[:, 1], v[:, 2], zv[:, 1], zv[:, 2])
+    t20 = isect(v[:, 2], v[:, 0], zv[:, 2], zv[:, 0])
+    i01 = v[:, 0] + t01 * (v[:, 1] - v[:, 0])
+    i12 = v[:, 1] + t12 * (v[:, 2] - v[:, 1])
+    i20 = v[:, 2] + t20 * (v[:, 0] - v[:, 2])
+    # barycentrics of the intersection points w.r.t. ROTATED corners
+    e = jnp.eye(3, dtype=jnp.float32)
+    b01 = (1 - t01) * e[0] + t01 * e[1]                 # (T, 3)
+    b12 = (1 - t12) * e[1] + t12 * e[2]
+    b20 = (1 - t20) * e[2] + t20 * e[0]
+
+    c1 = (count == 1)[:, None, None]
+    c2 = (count == 2)[:, None, None]
+    c3 = (count == 3)[:, None, None]
+    # primary triangle: count==3 → (v0,v1,v2); ==2 → (v0,v1,i12);
+    # ==1 → (v0,i01,i20)
+    tri_a = jnp.where(
+        c3, v, jnp.where(c2, jnp.stack([v[:, 0], v[:, 1], i12], 1),
+                         jnp.stack([v[:, 0], i01, i20], 1)))
+    bary_a = jnp.where(
+        c3, e[None], jnp.where(
+            c2, jnp.stack([jnp.broadcast_to(e[0], (t3, 3)),
+                           jnp.broadcast_to(e[1], (t3, 3)), b12], 1),
+            jnp.stack([jnp.broadcast_to(e[0], (t3, 3)), b01, b20], 1)))
+    # secondary triangle (two-inside case only): (v0, i12, i20)
+    tri_b = jnp.stack([v[:, 0], i12, i20], 1)
+    bary_b = jnp.stack([jnp.broadcast_to(e[0], (t3, 3)), b12, b20], 1)
+
+    valid_a = count >= 1
+    valid_b = count == 2
+    # un-rotate the barycentric columns back to original corner order:
+    # rotated corner j is original corner (rot+j)%3
+    inv = (jnp.arange(3, dtype=jnp.int32)[None] - rot[:, None]) % 3
+    unrot = lambda b: jnp.take_along_axis(b, inv[:, None, :], axis=2)
+    tris = jnp.concatenate([tri_a, tri_b], 0)           # (2T, 3, 4)
+    bary = jnp.concatenate([unrot(bary_a), unrot(bary_b)], 0)
+    valid = jnp.concatenate([valid_a, valid_b], 0)
+    return tris, bary, valid
+
+
 def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
                     state, width: int, height: int):
     """Bake triangles into plane equations for the raster kernel.
 
-    Returns ``setup`` (16, Tpad) f32 laid out triangle-per-lane:
-    rows a0,b0,c0 / a1,b1,c1 are the normalized barycentric planes
-    (λi = a·px + b·py + c); az,bz,cz is the depth plane; row VALID is the
-    cull/degenerate/near mask. Also returns per-triangle inv_w (T, 3).
+    Clips against the near plane first (1 input → ≤2 output triangles, so
+    all shapes below are 2T). Returns ``setup`` (16, Tpad) f32 laid out
+    triangle-per-lane: rows a0,b0,c0 / a1,b1,c1 are the normalized
+    barycentric planes (λi = a·px + b·py + c); az,bz,cz is the depth
+    plane; row VALID is the cull/degenerate mask. Also returns per-corner
+    inv_w (2T, 3) and NDC z (2T, 3) of the CLIPPED corners, and the
+    attribute-mix matrix ``bary_mix`` (2T, 3, 3) mapping original corner
+    attributes to clipped-corner attributes.
     """
-    tri_clip = clip[indices]                       # (T, 3, 4)
+    tri_clip, bary_mix, clip_valid = _clip_near(clip[indices])  # (2T,3,4)
     xy, z, inv_w = viewport_transform(tri_clip, width, height)
     x0, x1, x2 = xy[:, 0, 0], xy[:, 1, 0], xy[:, 2, 0]
     y0, y1, y2 = xy[:, 0, 1], xy[:, 1, 1], xy[:, 2, 1]
@@ -96,7 +178,8 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
         keep = facing < 0
     else:
         keep = jnp.abs(area2) > _AREA_EPS
-    # near-plane guard: cull triangles with any vertex behind the camera
+    keep &= clip_valid
+    # post-clip safety: degenerate projections (w ≈ 0 at z ≥ 0) are culled
     keep &= jnp.all(tri_clip[..., 3] > _W_EPS, axis=-1)
     keep &= jnp.abs(area2) > _AREA_EPS
 
@@ -116,24 +199,29 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
     cz = c0 * (z0 - z2) + c1 * (z1 - z2) + z2
 
     rows = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz,
-                      keep.astype(jnp.float32)])          # (10, T)
+                      keep.astype(jnp.float32)])          # (10, 2T)
     tpad = max(_pad_to(rows.shape[1], CHUNK), CHUNK)
     setup = jnp.zeros((_ROWS, tpad), jnp.float32)
     setup = setup.at[:10, :rows.shape[1]].set(rows)
-    return setup, inv_w, z
+    return setup, inv_w, z, bary_mix
 
 
 def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
                    l0_ref, l1_ref, *, width, height, depth_test, last_wins,
-                   less_equal=False):
-    """One (tile, chunk) grid step: fold CHUNK triangles into the tile."""
+                   less_equal=False, static_test=False):
+    """One (tile, chunk) grid step: fold CHUNK triangles into the tile.
+
+    ``static_test`` models Vulkan's depth_test=on/depth_write=off: every
+    fragment tests against the *unchanged* incoming depth buffer and the
+    last passing fragment in draw order wins (the kernel's depth plane then
+    holds last-wins sort keys, not depth)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
-        depth_ref[:] = (depth_init_ref[:] if depth_test
+        depth_ref[:] = (depth_init_ref[:] if depth_test and not static_test
                         else jnp.full_like(depth_init_ref[:], jnp.inf))
         tri_ref[:] = jnp.full_like(tri_ref[:], -1)
         l0_ref[:] = jnp.zeros_like(l0_ref[:])
@@ -165,6 +253,10 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
             zval = az * px + bz * py + cz
             covered = (lam0 >= 0.0) & (lam1 >= 0.0) & (lam0 + lam1 <= 1.0)
             covered &= scissor & (zval >= 0.0) & (zval <= 1.0)
+            if static_test:
+                # write-off test: compare against the incoming buffer only
+                covered &= ((zval <= depth_init_ref[:]) if less_equal
+                            else (zval < depth_init_ref[:]))
 
             gid = k * CHUNK + c
             if last_wins:
@@ -188,13 +280,14 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
 
 
 def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
-                 interpret, less_equal=False):
+                 interpret, less_equal=False, static_test=False):
     hp, wp = depth_init.shape
     tpad = setup.shape[1]
     grid = (hp // TILE_H, wp // TILE_W, tpad // CHUNK)
     kernel = functools.partial(
         _raster_kernel, width=float(width), height=float(height),
-        depth_test=depth_test, last_wins=last_wins, less_equal=less_equal)
+        depth_test=depth_test, last_wins=last_wins, less_equal=less_equal,
+        static_test=static_test)
     tile = lambda i, j, k: (i, j)
     out = pl.pallas_call(
         kernel,
@@ -227,10 +320,14 @@ _ONEHOT_MAX_TRIS = 256
 
 
 def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
-           varyings: dict, indices, inv_w, resources,
+           tri_vary: dict, inv_w, resources,
            z_tri=None) -> Framebuffer:
     """Deferred shading: perspective-correct varyings for winner triangles,
     run fragment_fn, merge into the framebuffer.
+
+    ``tri_vary`` maps varying name → per-triangle corner attributes
+    (T, 3, K) — already clip-mixed by the caller, so near-plane-clipped
+    triangles interpolate exactly.
 
     Attribute fetch: per-pixel gathers are the slowest op on TPU, so for
     small scenes (T ≤ 256) the winner-triangle attributes are fetched with
@@ -246,16 +343,15 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
     l2 = 1.0 - gl0 - gl1
     lam = jnp.stack([gl0, gl1, l2], -1)               # (H, W, 3)
 
-    num_tris = indices.shape[0]
-    names = list(varyings)
+    num_tris = inv_w.shape[0]
+    names = list(tri_vary)
     if num_tris <= _ONEHOT_MAX_TRIS:
         # feature table: [inv_w (3) | z (3)? | per-varying (3*K)...]
         cols = [inv_w]                                # (T, 3)
         if z_tri is not None:
             cols.append(z_tri)                        # (T, 3)
         for name in names:
-            tv = varyings[name][indices]              # (T, 3, K)
-            cols.append(tv.reshape(num_tris, -1))
+            cols.append(tri_vary[name].reshape(num_tris, -1))
         table = jnp.concatenate(cols, -1)             # (T, F)
         hw = t.shape
         onehot = (t.reshape(-1)[:, None]
@@ -272,14 +368,14 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
             offs = 6
         fetched = {}
         for name in names:
-            k = varyings[name].shape[-1]
+            k = tri_vary[name].shape[-1]
             fetched[name] = feats[..., offs:offs + 3 * k].reshape(
                 *hw, 3, k)
             offs += 3 * k
     else:
         iw = inv_w[t]                                 # (H, W, 3)
         z_px = None if z_tri is None else z_tri[t]    # (H, W, 3)
-        fetched = {name: varyings[name][indices][t] for name in names}
+        fetched = {name: tri_vary[name][t] for name in names}
 
     lp = lam * iw
     denom = jnp.sum(lp, -1, keepdims=True)
@@ -320,20 +416,37 @@ def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
                                         uniforms)
     state = pipe.state
     with jax.named_scope("raster.setup"):
-        setup, inv_w, z_tri = _triangle_setup(clip, mesh_.indices, state,
-                                              fb.width, fb.height)
+        setup, inv_w, z_tri, bary_mix = _triangle_setup(
+            clip, mesh_.indices, state, fb.width, fb.height)
+        # clipped-corner attributes: corner i of output triangle j mixes
+        # the original corners with bary_mix[j, i] (identity when unclipped)
+        tri_vary = {}
+        for name, vals in varyings.items():
+            tv = vals[mesh_.indices]                       # (T, 3, K)
+            tv2 = jnp.concatenate([tv, tv], 0)             # (2T, 3, K)
+            tri_vary[name] = (
+                bary_mix[..., 0, None] * tv2[:, 0:1]
+                + bary_mix[..., 1, None] * tv2[:, 1:2]
+                + bary_mix[..., 2, None] * tv2[:, 2:3])
     last_wins = not state.depth_test
     depth_cmp = state.depth_compare
     if depth_cmp is CompareOp.ALWAYS:
+        last_wins = True
+    # Vulkan depth_test-on/write-off: fragments test against the unchanged
+    # buffer and the last passing one in draw order wins — NOT min-fold
+    static_test = (state.depth_test and not state.depth_write
+                   and depth_cmp is not CompareOp.ALWAYS)
+    if static_test:
         last_wins = True
     with jax.named_scope("raster.kernel"):
         gdepth, gtri, gl0, gl1 = _raster_call(
             setup, fb.depth, fb.width, fb.height,
             depth_test=state.depth_test, last_wins=last_wins,
             interpret=interpret,
-            less_equal=depth_cmp is CompareOp.LESS_EQUAL)
+            less_equal=depth_cmp is CompareOp.LESS_EQUAL,
+            static_test=static_test)
     with jax.named_scope("raster.shade"):
-        return _shade(pipe, fb, gdepth, gtri, gl0, gl1, varyings,
-                      mesh_.indices, inv_w, resources,
+        return _shade(pipe, fb, gdepth, gtri, gl0, gl1, tri_vary,
+                      inv_w, resources,
                       z_tri=z_tri if (last_wins and state.depth_write)
                       else None)

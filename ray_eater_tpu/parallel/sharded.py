@@ -141,8 +141,16 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
                                         uniforms)
         # shift screen-space y by the band origin: adjust the viewport
         # inside triangle setup by biasing the plane constants
-        setup, inv_w, z_tri = raster_ops._triangle_setup(
+        setup, inv_w, z_tri, bary_mix = raster_ops._triangle_setup(
             clip, geo.indices, pipe.state, width, height)
+        tri_vary = {}
+        for name, vals in varyings.items():
+            tv = vals[geo.indices]
+            tv2 = jnp.concatenate([tv, tv], 0)
+            tri_vary[name] = (
+                bary_mix[..., 0, None] * tv2[:, 0:1]
+                + bary_mix[..., 1, None] * tv2[:, 1:2]
+                + bary_mix[..., 2, None] * tv2[:, 2:3])
         # λ(px, py_global) = a·px + b·(py_local + y0) + c  →  c += b·y0
         setup = setup.at[2].add(setup[1] * y0)     # c0 += b0*y0
         setup = setup.at[5].add(setup[4] * y0)     # c1 += b1*y0
@@ -166,7 +174,7 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
             interpret=interpret,
             less_equal=state.depth_compare.name == "LESS_EQUAL")
         out_fb = raster_ops._shade(
-            pipe, fb_local, gdepth, gtri, gl0, gl1, varyings, geo.indices,
+            pipe, fb_local, gdepth, gtri, gl0, gl1, tri_vary,
             inv_w, resources,
             z_tri=z_tri if (last_wins and state.depth_write) else None)
         return out_fb.color, out_fb.depth

@@ -67,13 +67,18 @@ def main(argv=None):
     n = cloud.num_splats
     log.info("scene: %d splats", n)
 
+    # cloud passed as a jit argument: keeps the splat data in HBM once
+    # rather than baked into the executable as constants
     @jax.jit
-    def frame_program(t):
+    def frame_fn(c, t):
         view, proj, eye = orbit_camera(t, aspect=W / H)
-        return render_gaussians(cloud, view, proj, W, H,
+        return render_gaussians(c, view, proj, W, H,
                                 background=(0.0, 0.0, 0.0),
                                 cam_pos=eye,   # view-dependent SH colors
                                 interpret=interpret)
+
+    cloud = jax.device_put(cloud)
+    frame_program = lambda t: frame_fn(cloud, t)
 
     os.makedirs(args.out, exist_ok=True)
     img = frame_program(np.float32(0.0))

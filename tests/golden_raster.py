@@ -19,6 +19,38 @@ def viewport(clip, width, height):
     return np.stack([x, y], -1), ndc[..., 2], 1.0 / w[..., 0]
 
 
+def clip_triangles_near(clip, indices, values):
+    """Float64 Sutherland–Hodgman clip of indexed triangles against the
+    near plane z_clip = 0 (an independent derivation from the kernel's
+    canonical-rotation split). Returns (clip (M,3,4), values (M,3,K),
+    indices (M,3)) with per-corner attributes lerped homogeneously."""
+    clip = np.asarray(clip, np.float64)
+    values = np.asarray(values, np.float64)
+    out_c, out_v = [], []
+    for tri in np.asarray(indices):
+        poly = [(clip[i], values[i]) for i in tri]
+        res = []
+        for j in range(len(poly)):
+            cur_c, cur_v = poly[j]
+            prv_c, prv_v = poly[j - 1]
+            cin, pin = cur_c[2] >= 0, prv_c[2] >= 0
+            if cin != pin:
+                t = prv_c[2] / (prv_c[2] - cur_c[2])
+                res.append((prv_c + t * (cur_c - prv_c),
+                            prv_v + t * (cur_v - prv_v)))
+            if cin:
+                res.append((cur_c, cur_v))
+        for k in range(1, len(res) - 1):   # fan-triangulate
+            out_c.append([res[0][0], res[k][0], res[k + 1][0]])
+            out_v.append([res[0][1], res[k][1], res[k + 1][1]])
+    if not out_c:
+        return (np.zeros((0, 3, 4)), np.zeros((0, 3) + values.shape[1:]),
+                np.zeros((0, 3), np.int64))
+    m = len(out_c)
+    return (np.asarray(out_c), np.asarray(out_v),
+            np.arange(3 * m).reshape(m, 3))
+
+
 def rasterize_reference(clip, indices, width, height,
                         cull="back", front="cw", depth_test=True,
                         init_depth=None):

@@ -160,6 +160,34 @@ def test_pairs_cap_overflow_is_graceful():
     assert np.isfinite(img).all()
 
 
+def test_tight_cap_degrades_proportionally_and_reports_overflow():
+    # a cap somewhat below the exact need must (a) report overflow via
+    # return_stats, (b) keep every tile visited (proportional farthest-
+    # chunk drop, not whole-tile loss), (c) stay close to the exact render
+    view, proj = camera()
+    n = 600
+    rng = np.random.RandomState(3)
+    means = (rng.rand(n, 3).astype(np.float32) * 2 - 1) * 0.6
+    cloud = gaussian_cloud(means, np.full((n, 3), 0.06),
+                           [[1, 0, 0, 0]] * n, [0.5] * n,
+                           rng.rand(n, 3).astype(np.float32))
+    exact, st0 = render_gaussians(cloud, view, proj, W, H,
+                                  return_stats=True, interpret=True)
+    assert int(st0["overflow_chunks"]) == 0
+    capped, st1 = render_gaussians(cloud, view, proj, W, H,
+                                   pairs_cap_factor=2, return_stats=True,
+                                   interpret=True)
+    exact, capped = np.asarray(exact), np.asarray(capped)
+    assert np.isfinite(capped).all()
+    if int(st1["overflow_chunks"]) > 0:
+        # proportional drop: the two images differ only modestly (farthest
+        # splats dropped per tile) — no black holes where tiles vanished
+        assert np.abs(exact - capped).mean() < 0.05
+        # background-only rows excluded, every rendered tile region kept
+        lit = exact.max(-1) > 0.05
+        assert (capped.max(-1)[lit] > 0.01).mean() > 0.95
+
+
 def test_ky_span_knob():
     # smaller vertical span = harder radius clamp, still finite + close
     view, proj = camera()

@@ -17,8 +17,11 @@ def test_native_ply_matches_python(tmp_path):
     path = str(tmp_path / "scene.ply")
     save_ply(path, cloud)
     props, data = native.read_ply(path)
-    assert props[:3] == ["x", "y", "z"]
-    assert data.shape == (100, 14)
+    # INRIA 3DGS exporter layout: x,y,z, zero normals, f_dc, opacity,
+    # scale, rot → 17 float properties
+    assert props[:6] == ["x", "y", "z", "nx", "ny", "nz"]
+    assert data.shape == (100, 17)
+    assert np.all(data[:, 3:6] == 0.0)
     np.testing.assert_allclose(data[:, :3], np.asarray(cloud.means),
                                atol=1e-6)
     # load_ply routes through the native reader and applies activations

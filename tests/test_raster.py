@@ -162,6 +162,38 @@ def test_depth_write_without_depth_test():
         assert np.allclose(got_d[H // 2, W // 2], 0.5, atol=1e-5), state
 
 
+def test_depth_test_without_write_later_passing_wins():
+    # Vulkan semantics for depth_test=on/depth_write=off: every fragment
+    # tests against the UNCHANGED incoming buffer; among passing fragments
+    # the last in draw order wins. Near (red) drawn first, far (green)
+    # drawn second: both pass vs the cleared buffer, green must win.
+    pos = [[-1, -1, 0.2], [1, -1, 0.2], [1, 1, 0.2], [-1, 1, 0.2],
+           [-1, -1, 0.8], [1, -1, 0.8], [1, 1, 0.8], [-1, 1, 0.8]]
+    col = [[1, 0, 0]] * 4 + [[0, 1, 0]] * 4
+    idx = [[0, 1, 2], [2, 3, 0], [4, 5, 6], [6, 7, 4]]
+    mesh = re.mesh(pos, idx, color=col)
+    pipe = GraphicsPipeline(
+        vertex_fn=_ndc_vertex, fragment_fn=flat_color_fragment,
+        state=RasterState(depth_test=True, depth_write=False))
+    fb = re.create_framebuffer(W, H)
+    out = render_mesh(pipe, mesh, {}, {}, fb, interpret=True)
+    got_c = np.asarray(out.color)[:H, :W]
+    got_d = np.asarray(out.depth)[:H, :W]
+    assert np.allclose(got_c[H // 2, W // 2, :3], [0, 1, 0], atol=1e-5)
+    # write off: depth buffer unchanged (cleared value)
+    assert np.allclose(got_d[H // 2, W // 2], np.asarray(fb.depth)[0, 0],
+                       atol=0)
+    # and fragments behind the incoming buffer still fail the test
+    fb2 = re.create_framebuffer(W, H)
+    fb2 = re.Framebuffer(color=fb2.color,
+                         depth=jnp.full_like(fb2.depth, 0.5),
+                         width=fb2.width, height=fb2.height)
+    out2 = render_mesh(pipe, mesh, {}, {}, fb2, interpret=True)
+    got2 = np.asarray(out2.color)[:H, :W]
+    # far quad (0.8) fails vs 0.5; near quad (0.2) passes → red
+    assert np.allclose(got2[H // 2, W // 2, :3], [1, 0, 0], atol=1e-5)
+
+
 def test_backface_cull():
     # counter-clockwise (in y-down screen space) triangle is a back face
     pos = [[-0.5, -0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.5, 0.5]]
@@ -183,7 +215,8 @@ def test_backface_cull():
 
 
 def test_behind_camera_culled():
-    # triangle with a vertex at w<=0 must be culled whole (no clipping yet)
+    # triangle straddling the camera plane: near-plane clipping must keep
+    # the visible part finite and well-defined
     uni = sample_uniforms()
     pos = [[0, 0, 0], [1, 0, 0], [0, 20, 0]]   # vertex far behind camera
     mesh = re.mesh(pos, [[0, 1, 2]], color=[[1, 1, 1]] * 3)
@@ -195,6 +228,58 @@ def test_behind_camera_culled():
                    indices=mesh.indices)
     got_c, _ = run_render(pipe, mesh, uni)
     assert np.isfinite(got_c).all()
+
+
+def _clip_vertex(positions, attrs, uniforms):
+    """Vertex fn whose inputs are already clip-space (x,y,z,w)."""
+    return positions, {"color": attrs["color"]}
+
+
+def _near_params(d, x_ndc, y_ndc, near=0.1, far=10.0):
+    """Clip coords of a point at view depth d with desired NDC x,y."""
+    a = far / (far - near)
+    b = -far * near / (far - near)
+    return [x_ndc * d, y_ndc * d, a * d + b, d]
+
+
+def test_near_plane_clipping_matches_golden():
+    # Triangles straddling the near plane (one vertex behind the camera,
+    # one inside, etc.) vs an independent float64 Sutherland–Hodgman
+    # clipper + reference rasterizer. Exercises both split cases
+    # (1-inside and 2-inside) and attribute interpolation across the clip.
+    pos = np.array([
+        _near_params(2.0, -0.8, -0.8),     # inside
+        _near_params(0.05, 3.0, 0.0),      # in front of near plane
+        _near_params(2.0, -0.8, 0.8),      # inside (2-inside case, tri 0)
+        _near_params(-0.5, 0.0, -6.0),     # behind the camera
+        _near_params(1.0, 0.7, -0.6),      # inside (1-inside case, tri 1)
+        _near_params(0.02, 0.5, 4.0),      # in front of near plane
+    ], np.float32)
+    col = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                    [1, 1, 0], [0, 1, 1], [1, 0, 1]], np.float32)
+    idx = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    mesh = re.Mesh(positions=jnp.asarray(pos),
+                   attributes={"color": jnp.asarray(col)},
+                   indices=jnp.asarray(idx))
+    pipe = GraphicsPipeline(vertex_fn=_clip_vertex,
+                            fragment_fn=flat_color_fragment,
+                            state=RasterState(cull_mode=CullMode.NONE))
+    got_c, got_d = run_render(pipe, mesh, {})
+
+    cclip, cvals, cidx = gold.clip_triangles_near(pos, idx, col)
+    assert len(cclip) >= 3          # both split cases produced geometry
+    depth, tri, bary, inv_w = gold.rasterize_reference(
+        cclip.reshape(-1, 4), cidx, W, H, cull="none")
+    colr = gold.interpolate(cvals.reshape(-1, 3), cidx, tri, bary, inv_w)
+    m = tri >= 0
+    want = np.zeros((H, W, 4))
+    want[..., :3] = np.where(m[..., None], colr, 0.0)
+    want[..., 3] = 1.0
+    assert m.any() and (~m).any()   # clipped geometry partially visible
+    assert_images_close(got_c, want, max_bad_frac=0.01)
+    # depth agrees where covered
+    dd = np.abs(np.where(m, depth, 1.0) - got_d)
+    assert np.quantile(dd, 0.99) < 1e-3
 
 
 def _ndc_vertex(positions, attrs, uniforms):
