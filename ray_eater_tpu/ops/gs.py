@@ -194,22 +194,40 @@ def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
     return jnp.concatenate([cols, pad], -1)
 
 
-def _sort_records_by_depth(records: jnp.ndarray) -> jnp.ndarray:
-    order = jnp.argsort(records[:, _DEPTH])
-    return jnp.take(records, order, axis=0)       # one row-gather
+def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
+                cap_pairs: int, ky: int = KY,
+                max_per_tile: int | None = None):
+    """Chunk-aligned per-tile splat lists via ONE fused sort.
 
+    Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
+    combined int32 ``tile << db | quantized_depth`` — a single stable sort
+    groups pairs into per-tile runs that are front-to-back within each run
+    (the classic 3DGS combined tile|depth radix key), replacing round 1's
+    two-pass global-depth-argsort + record-permute + tile-sort. Depth is
+    quantized to the remaining 31 - ceil(log2(ntiles+2)) bits (≥ 19 even
+    at 8K resolution); ties fall back to splat-index order via stability.
 
-def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
-                ky: int = KY, max_per_tile: int | None = None):
-    """Chunk-aligned tile lists from depth-sorted (N, 16) records.
     Returns (packed_idx (CAP,) int32 splat indices with -1 nulls,
     chunk_tile (CAPC,) int32 with ntiles sentinel, chunk_first (CAPC,)
     int32, visited (ntiles,) bool, overflow (scalar))."""
-    n = records.shape[0]
+    n = mx.shape[0]
     ntiles = ntx * nty
-    mx, my = records[:, _MX], records[:, _MY]
-    r = records[:, _RAD]
-    valid = records[:, _VAL] > 0.5
+    r = rad.astype(jnp.float32)
+
+    tile_bits = max(ntiles.bit_length(), 1)   # ids 0..ntiles-1 + sentinel
+    # depth bits capped at 22: the f32 quantization product must stay
+    # integer-exact (2^22 < 2^24 mantissa), or the deepest splat's qd can
+    # round up into the tile bits and leak to the head of the next tile
+    db = min(31 - tile_bits, 22)
+    qmax = (1 << db) - 1
+    dfin = jnp.where(valid, depth, jnp.inf)
+    dmin = jnp.min(jnp.where(valid, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(valid, depth, -jnp.inf))
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+    span = jnp.maximum(dmax - dmin, 1e-9)
+    qd = jnp.clip((dfin - dmin) / span * qmax, 0.0, float(qmax))
+    qd = jnp.clip(qd.astype(jnp.int32), 0, qmax)   # int-space re-clamp
+    qd = jnp.where(valid, qd, 0)
 
     tx0 = jnp.floor((mx - r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
     tx1 = jnp.floor((mx + r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
@@ -217,97 +235,102 @@ def _bin_splats(records: jnp.ndarray, ntx: int, nty: int, cap_pairs: int,
     ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
 
     # K candidate tiles per splat (static small fan-out)
-    tids = []
+    sentinel = ntiles << db
+    keys = []
     for dy in range(ky):
         for dx in range(KX):
             ty = ty0 + dy
             tx = tx0 + dx
             ok = valid & (ty <= ty1) & (tx <= tx1)
-            tids.append(jnp.where(ok, ty * ntx + tx, ntiles))
-    tid_flat = jnp.stack(tids, -1).reshape(-1)              # (N*K,)
-    m = tid_flat.shape[0]
+            keys.append(jnp.where(ok, ((ty * ntx + tx) << db) | qd,
+                                  sentinel))
+    key_flat = jnp.stack(keys, -1).reshape(-1)              # (N*K,)
+    m = key_flat.shape[0]
+    k_fan = KX * ky
+    splat_of_pair = jnp.stack(
+        [jnp.arange(n, dtype=jnp.int32)] * k_fan, -1).reshape(-1)
 
-    # stable sort by tile keeps depth order within each tile; carrying the
-    # iota through the sort yields the permutation without an extra gather.
-    # int16 keys (tile counts stay < 32767 up to 8K resolution) halve the
-    # comparator bandwidth of the dominant sort.
-    key_dtype = jnp.int16 if ntiles + 1 < 32767 else jnp.int32
-    sorted_tid, perm = jax.lax.sort(
-        (tid_flat.astype(key_dtype), jnp.arange(m, dtype=jnp.int32)),
-        num_keys=1, is_stable=True)
-    sorted_tid = sorted_tid.astype(jnp.int32)
+    # one stable sort by (tile, depth); the payload carries splat ids so
+    # the pack gather below needs no permutation indirection
+    sorted_key, sorted_splat = jax.lax.sort(
+        (key_flat, splat_of_pair), num_keys=1, is_stable=True)
 
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_tid, tvec, side="left")  # (ntiles+1,)
-    count = start[1:] - start[:-1]                           # (ntiles,)
+    start = jnp.searchsorted(sorted_key, tvec << db,
+                             side="left").astype(jnp.int32)  # (ntiles+1,)
+    startc = start[:-1]
+    count = start[1:] - startc                               # (ntiles,)
     if max_per_tile is not None:
         # per-tile depth-ordered LOD drop: splats are front-to-back within
         # each tile's run, so capping the count discards the FARTHEST
-        # splats of pathological tiles — never whole tiles (contrast the
-        # global cap_pairs tail-drop). Also hard-bounds total chunks at
-        # ntiles * ceil(max_per_tile / CHUNK).
+        # splats of pathological tiles — never whole tiles. With the
+        # direct layout this simply shortens the tile's step range; the
+        # skipped pairs are never touched.
         count = jnp.minimum(count, max_per_tile)
-    nchunks = (count + CHUNK - 1) // CHUNK
-    capc = cap_pairs // CHUNK
-    total_need = jnp.sum(nchunks)
-    overflow = jnp.maximum(total_need - capc, 0)
-    # graceful degradation under a tight cap: scale every tile's chunk
-    # budget by capc/total_need, dropping the FARTHEST chunks of each
-    # tile proportionally (splats are depth-ordered within a run) instead
-    # of losing whole tiles off the end of the chunk array (which cost
-    # 16.7 dB in round 1, BENCHLOG.md). Exact when total_need <= capc.
-    scale_num = jnp.minimum(total_need, capc)
-    nchunks = jnp.where(
-        total_need > capc,
-        jnp.maximum((nchunks * scale_num) // jnp.maximum(total_need, 1),
-                    jnp.minimum(nchunks, 1)),
-        nchunks)
-    count = jnp.minimum(count, nchunks * CHUNK)
-    chunk_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 jnp.cumsum(nchunks).astype(jnp.int32)])
-    total_chunks = chunk_off[-1]
+    # the cap never needs to exceed the (padded) emission count
+    cap_pairs = min(cap_pairs, _pad_to(m, CHUNK))
+    total_pairs = start[ntiles]
+    overflow = jnp.maximum(total_pairs - cap_pairs, 0)        # in pairs
+    # global cap: pairs beyond cap_pairs are dropped positionally (the
+    # sorted array's tail = the highest tile ids). Detect via overflow /
+    # return_stats; per-tile LOD (max_per_tile) is the graceful knob.
+    count = jnp.clip(jnp.minimum(count, cap_pairs - startc), 0)
 
-    # chunk maps + gather-based packing (scatter-free): destination slot d
-    # in chunk c of tile t reads sorted pair start[t] + (d - dst_base(t,c))
-    cid = jnp.arange(capc, dtype=jnp.int32)
-    owner = jnp.searchsorted(chunk_off, cid, side="right").astype(
-        jnp.int32) - 1
-    owner = jnp.clip(owner, 0, ntiles - 1)
-    chunk_tile = jnp.where(cid < total_chunks, owner, ntiles)
-    chunk_first = (cid == chunk_off[owner]).astype(jnp.int32)
-    src_base = start[owner] + (cid - chunk_off[owner]) * CHUNK  # (capc,)
-    src_end = start[owner] + count[owner]                       # (capc,)
+    # DIRECT chunk layout: kernel step s processes the contiguous block
+    # [step_block*CHUNK, +CHUNK) of the sorted pair array, masked to the
+    # owning tile's [lo, hi) pair range — blocks straddling a tile
+    # boundary run once per adjacent tile with complementary masks. This
+    # removes the per-slot src/live arithmetic, the (CAP,) splat-id
+    # gather, and the per-tile alignment padding of the round-1 design.
+    end = startc + count
+    first_block = startc // CHUNK
+    nsteps = jnp.where(count > 0,
+                       (end + CHUNK - 1) // CHUNK - first_block, 0)
+    step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(nsteps).astype(jnp.int32)])
+    total_steps = step_off[-1]
+    cap_steps = cap_pairs // CHUNK + ntiles   # ≤1 boundary step per tile
+    sid = jnp.arange(cap_steps, dtype=jnp.int32)
+    owner = jnp.clip(jnp.searchsorted(step_off, sid, side="right")
+                     .astype(jnp.int32) - 1, 0, ntiles - 1)
+    live_step = sid < total_steps
+    step_tile = jnp.where(live_step, owner, ntiles)
+    step_first = ((sid == step_off[owner]) & live_step).astype(jnp.int32)
+    maxblk = cap_pairs // CHUNK - 1
+    step_block = jnp.clip(first_block[owner] + (sid - step_off[owner]),
+                          0, maxblk)
+    step_lo = startc[owner]
+    step_hi = end[owner]
+    steps = (step_tile, step_first, step_block, step_lo, step_hi)
+    if m >= cap_pairs:
+        pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
+    else:
+        pack_idx = jnp.concatenate(
+            [sorted_splat, jnp.zeros(cap_pairs - m, jnp.int32)])
+    visited = count > 0                                      # (ntiles,)
+    return pack_idx, steps, visited, overflow
 
-    lane = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), capc)   # (CAP,)
-    src = jnp.repeat(src_base, CHUNK) + lane
-    live = ((src < jnp.repeat(src_end, CHUNK))
-            & jnp.repeat(cid < total_chunks, CHUNK))
-    # pair index → splat index is arithmetic: pairs were emitted K per splat
-    pair = jnp.take(perm, jnp.where(live, src, 0))              # monotonic
-    packed_idx = jnp.where(live, pair // (KX * ky), -1)
-    # a tile is visited iff its FIRST chunk fits under the cap — tiles whose
-    # chunks overflowed must fall back to background, not garbage
-    visited = (count > 0) & (chunk_off[:-1] < capc)          # (ntiles,)
-    return packed_idx, chunk_tile, chunk_first, visited, overflow
 
-
-def _pack_records(records: jnp.ndarray, packed_idx: jnp.ndarray):
-    """One row-gather of (N, 16) records into the chunk-aligned (CAP, 16)
-    layout; null entries (-1) get VAL=0 rows."""
-    safe = jnp.maximum(packed_idx, 0)
-    packed = jnp.take(records, safe, axis=0)                # (CAP, 16)
-    live = (packed_idx >= 0)[:, None]
-    return jnp.where(live, packed, 0.0)
+def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
+    """One row-gather of (N, 16) records into sorted-pair order (CAP, 16).
+    Rows past each tile's [lo, hi) pair range are masked in-kernel, so no
+    slot masking is needed here."""
+    return jnp.take(records, pack_idx, axis=0)              # (CAP, 16)
 
 
 _PIX = TILE_H * TILE_W          # pixels per tile, flattened (2048)
 
 
-def _composite_kernel(chunk_tile_ref, chunk_first_ref, rec_ref,
+def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
+                      step_lo_ref, step_hi_ref, rec_ref,
                       r_ref, g_ref, b_ref, t_ref, sat_ref, *,
                       ntx, ntiles):
     """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
     pixel block — no per-splat scalar loop.
+
+    Grid step s streams the contiguous sorted-pair block
+    ``step_block[s]`` masked to the owning tile's [lo, hi) pair range
+    (direct layout — boundary blocks run once per adjacent tile).
 
     Front-to-back alpha compositing is a linear recurrence
     ``T_{i+1} = T_i (1-α_i)``; its prefix is computed in closed form as
@@ -315,12 +338,12 @@ def _composite_kernel(chunk_tile_ref, chunk_first_ref, rec_ref,
     (C,P) MXU matmul — so all C splats of the chunk composite in parallel.
     The color accumulation is a second MXU contraction over the splat axis.
     """
-    ci = pl.program_id(0)
-    tile = chunk_tile_ref[ci]
+    si = pl.program_id(0)
+    tile = step_tile_ref[si]
 
     @pl.when(tile < ntiles)
     def _():
-        @pl.when(chunk_first_ref[ci] == 1)
+        @pl.when(step_first_ref[si] == 1)
         def _init():
             r_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
             g_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
@@ -335,11 +358,13 @@ def _composite_kernel(chunk_tile_ref, chunk_first_ref, rec_ref,
         @pl.when(sat_ref[0] == 0)
         def _run():
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
-                             tile, ntx)
+                             tile, ntx,
+                             step_block_ref[si] * CHUNK,
+                             step_lo_ref[si], step_hi_ref[si])
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
-                     ntx):
+                     ntx, base, lo, hi):
     ty0 = (tile // ntx) * TILE_H
     tx0 = (tile % ntx) * TILE_W
     # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
@@ -356,7 +381,10 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
              - col(_CB) * dx * dy)
     alpha = col(_OP) * jnp.exp(power)
     alpha = jnp.minimum(alpha, _ALPHA_MAX)
-    live = col(_VAL) > 0.5
+    # rows outside this tile's [lo, hi) sorted-pair range belong to a
+    # neighboring tile (boundary block) or the sentinel tail — mask them
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base
+    live = (col(_VAL) > 0.5) & (rows >= lo) & (rows < hi)
     alpha = jnp.where(live & (alpha >= _ALPHA_MIN), alpha, 0.0)
 
     log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))     # (C, P)
@@ -382,22 +410,25 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     sat_ref[0] = (jnp.max(t_new) < _T_EPS).astype(jnp.int32)
 
 
-def _composite_call(records, chunk_tile, chunk_first, nty, ntx, interpret):
+def _composite_call(records, steps, nty, ntx, interpret):
     """Returns 4 tile-flattened planes (ntiles+1, 2048): r, g, b, T.
-    Row ``ntiles`` is the sentinel dump for unused chunks; use
-    :func:`_untile` to get image-shaped planes."""
+    Row ``ntiles`` is the sentinel dump for unused steps; use
+    :func:`_untile` to get image-shaped planes. ``steps`` is the
+    (tile, first, block, lo, hi) scalar-prefetch tuple from _bin_splats."""
     ntiles = nty * ntx
-    capc = chunk_tile.shape[0]
+    step_tile, step_first, step_block, step_lo, step_hi = steps
+    nsteps = step_tile.shape[0]
     kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles)
 
-    def out_map(ci, ct, cf):
-        return (jnp.minimum(ct[ci], ntiles), 0, 0)  # sentinel → extra row
+    def out_map(si, st, sf, sb, sl, sh):
+        return (jnp.minimum(st[si], ntiles), 0, 0)  # sentinel → extra row
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(capc,),
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((CHUNK, _ROWS), lambda ci, ct, cf: (ci, 0),
+            pl.BlockSpec((CHUNK, _ROWS),
+                         lambda si, st, sf, sb, sl, sh: (sb[si], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -410,7 +441,7 @@ def _composite_call(records, chunk_tile, chunk_first, nty, ntx, interpret):
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-    )(chunk_tile, chunk_first, records)
+    )(step_tile, step_first, step_block, step_lo, step_hi, records)
 
 
 def finalize_planes(r, g, b, t, visited, nty: int, ntx: int,
@@ -479,35 +510,37 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
                                cloud.opacities, colors, view, proj,
                                width, height, ky=ky)
-    with jax.named_scope("gs.depth_sort"):
-        records = _sort_records_by_depth(_make_records(ps))
+    with jax.named_scope("gs.records"):
+        records = _make_records(ps)            # original splat order
 
     ntx = _pad_to(width, TILE_W) // TILE_W
     nty = _pad_to(height, TILE_H) // TILE_H
     n = cloud.num_splats
     ntiles = ntx * nty
+    exact_cap = n * KX * ky + ntiles * CHUNK
     if pairs_cap_factor is None:
-        cap_pairs = n * KX * ky + ntiles * CHUNK
+        cap_pairs = exact_cap
     else:
-        cap_pairs = max(pairs_cap_factor * n, 4 * CHUNK) + ntiles * CHUNK
+        cap_pairs = min(exact_cap,
+                        max(pairs_cap_factor * n, 4 * CHUNK)
+                        + ntiles * CHUNK)
     if max_splats_per_tile is not None:
         # per-tile cap hard-bounds the chunk-aligned total
         cap_pairs = min(cap_pairs,
                         ntiles * _pad_to(max_splats_per_tile, CHUNK))
     cap_pairs = _pad_to(cap_pairs, CHUNK)
     with jax.named_scope("gs.bin"):
-        packed_idx, chunk_tile, chunk_first, visited, overflow = _bin_splats(
-            records, ntx, nty, cap_pairs, ky=ky,
+        pack_idx, steps, visited, overflow = _bin_splats(
+            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, ky=ky,
             max_per_tile=max_splats_per_tile)
     with jax.named_scope("gs.pack"):
-        packed = _pack_records(records, packed_idx)
+        packed = _pack_records(records, pack_idx)
 
     with jax.named_scope("gs.composite"):
-        r, g, b, t = _composite_call(packed, chunk_tile, chunk_first,
-                                     nty, ntx, interpret)
+        r, g, b, t = _composite_call(packed, steps, nty, ntx, interpret)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
     img = img[:height, :width]
     if return_stats:
-        return img, {"overflow_chunks": overflow,
-                     "live_pairs": jnp.sum(packed_idx >= 0)}
+        return img, {"overflow_pairs": overflow}
     return img

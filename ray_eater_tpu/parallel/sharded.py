@@ -83,7 +83,6 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                             width, height, ky=ky)
         rec_local = gs_ops._make_records(ps_local)
         records = jax.lax.all_gather(rec_local, axis, axis=0, tiled=True)
-        records = gs_ops._sort_records_by_depth(records)
 
         # --- tile-parallel composite: this device's row band ---
         band = jax.lax.axis_index(axis)
@@ -95,12 +94,15 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         records = records.at[:, gs_ops._VAL].set(live)
         records = records.at[:, gs_ops._MY].add(-y0)
 
-        packed_idx, chunk_tile, chunk_first, visited, _ = \
-            gs_ops._bin_splats(records, ntx, nty_local, cap_pairs, ky=ky,
+        pack_idx, steps, visited, _ = \
+            gs_ops._bin_splats(records[:, gs_ops._MX],
+                               records[:, gs_ops._MY], r, live > 0.5,
+                               records[:, gs_ops._DEPTH],
+                               ntx, nty_local, cap_pairs, ky=ky,
                                max_per_tile=max_splats_per_tile)
-        packed = gs_ops._pack_records(records, packed_idx)
+        packed = gs_ops._pack_records(records, pack_idx)
         r_, g_, b_, t_ = gs_ops._composite_call(
-            packed, chunk_tile, chunk_first, nty_local, ntx, interpret)
+            packed, steps, nty_local, ntx, interpret)
         return gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
                                       ntx, background)  # (band_px, Wp, 3)
 

@@ -90,7 +90,7 @@ def main():
         ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
-        recs = gs._sort_records_by_depth(gs._make_records(ps))
+        recs = gs._make_records(ps)
         return t + recs[0, 0] * 1e-12
 
     def st_bin(t):
@@ -98,17 +98,21 @@ def main():
         ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
-        recs = gs._sort_records_by_depth(gs._make_records(ps))
-        pidx, ct, cf, vis, ov = gs._bin_splats(recs, ntx, nty, cap_pairs)
-        return t + pidx[0].astype(jnp.float32) * 1e-12
+        recs = gs._make_records(ps)
+        pidx, steps, vis, ov = gs._bin_splats(
+            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs)
+        return t + pidx[0].astype(jnp.float32) * 1e-12 + recs[0, 0] * 1e-12
 
     def st_pack(t):
         v = mk_view(t)
         ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
-        recs = gs._sort_records_by_depth(gs._make_records(ps))
-        pidx, ct, cf, vis, ov = gs._bin_splats(recs, ntx, nty, cap_pairs)
+        recs = gs._make_records(ps)
+        pidx, steps, vis, ov = gs._bin_splats(
+            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs)
         packed = gs._pack_records(recs, pidx)
         return t + packed[0, 0] * 1e-12
 
@@ -134,12 +138,14 @@ def main():
         ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
                                   cloud.opacities, cloud.colors, view, proj,
                                   W, H)
-        recs = gs._sort_records_by_depth(gs._make_records(ps))
-        pidx, ct, cf, vis, ov = jax.jit(
+        pidx, steps, vis, ov = jax.jit(
             functools.partial(gs._bin_splats, ntx=ntx, nty=nty,
-                              cap_pairs=cap_pairs))(records=recs)
-        live = int((pidx >= 0).sum())
-        chunks = int((ct < ntiles).sum())
+                              cap_pairs=cap_pairs))(
+            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+            jnp.isfinite(ps.depth), ps.depth)
+        live = int(np.asarray(steps[4] - steps[3])[
+            np.asarray(steps[1]) == 1].sum())
+        chunks = int((np.asarray(steps[0]) < ntiles).sum())
         r = np.asarray(ps.radius)
         val = np.isfinite(np.asarray(ps.depth))
         print(f"live slots={live} real chunks={chunks} capc={capc} "
