@@ -51,6 +51,11 @@ def main():
     # verified each run via the overflow stat printed below. Override with
     # RAYEATER_BENCH_CAP_FACTOR (0 = exact worst-case buffers).
     capf = int(os.environ.get("RAYEATER_BENCH_CAP_FACTOR", 4)) or None
+    # per-tile LOD: keep the nearest 384 splats per 16x128 tile (the
+    # transmittance saturates long before that on this scene — 68.2 dB
+    # PSNR vs the exact render, same-process A/B in BENCHLOG round 2).
+    # RAYEATER_BENCH_MPT=0 renders exact.
+    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 384)) or None
 
     @jax.jit
     def frame_fn(c, t):
@@ -61,7 +66,9 @@ def main():
         view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
         proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
         return render_gaussians(c, view, proj, W, H,
-                                pairs_cap_factor=capf, return_stats=True,
+                                pairs_cap_factor=capf,
+                                max_splats_per_tile=mpt,
+                                return_stats=True,
                                 interpret=interpret)
 
     cloud = jax.device_put(cloud)

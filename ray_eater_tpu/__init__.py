@@ -13,6 +13,7 @@ from .core.resources import (AddressMode, Filter, Framebuffer, Sampler,
                              Texture, clear, create_framebuffer,
                              texture_from_array, texture_from_file)
 from .core.swapchain import Swapchain
+from .core.animation import render_animation
 from .core.pipeline import (BlendMode, CompareOp, ComputePipeline, CullMode,
                             FrontFace, GraphicsPipeline, RasterState)
 from .core import shaders
@@ -28,7 +29,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "rmath", "Context", "ContextConfig", "Framebuffer", "Texture", "Sampler",
-    "Filter", "AddressMode", "Swapchain", "GraphicsPipeline",
+    "Filter", "AddressMode", "Swapchain", "render_animation",
+    "GraphicsPipeline",
     "ComputePipeline", "RasterState", "CullMode", "FrontFace", "CompareOp",
     "BlendMode", "shaders", "render_mesh", "Mesh", "mesh", "two_planes",
     "fullscreen_quad", "clear", "create_framebuffer", "texture_from_array",

@@ -1,0 +1,76 @@
+"""Device-resident multi-frame rendering: N frames in ONE dispatch.
+
+The reference's frame loop issues one submit + present per frame
+(basic_planes.zig:316-350); the TPU analog of that loop pays a host→device
+dispatch round trip per frame (~60-140 ms through a tunnel, ~1 ms locally)
+which dwarfs small frame programs. ``render_animation`` moves the loop
+into the compiled program: ``lax.scan`` over the camera-time axis with the
+swapchain's sRGB/u8 encode fused in, so an entire flythrough costs one
+dispatch and one device→host DMA of the packed u8 frames.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resources import Framebuffer
+from .swapchain import encode_present
+
+
+def render_animation(frame_fn: Callable, n_frames: int,
+                     t0: float = 0.0, dt: float = 1.0 / 60.0,
+                     srgb: bool = True,
+                     keep: str = "all"):
+    """Render ``n_frames`` frames of ``frame_fn(t)`` in one jitted scan.
+
+    ``frame_fn`` is a jax-traceable function of a scalar time returning a
+    Framebuffer or an (H, W, 3|4) f32 image. Returns u8 RGBA frames:
+    ``keep="all"`` → (n, H, W, 4) (one big device→host DMA);
+    ``keep="last"`` → (H, W, 4) (constant memory — FPS benchmarking).
+
+    The whole animation is ONE XLA program: per-frame uniforms/cameras must
+    be computed inside ``frame_fn`` from ``t`` (any eager op per frame
+    would defeat the point).
+    """
+    run = _compiled_animation(frame_fn, srgb, keep)
+    ts = t0 + np.arange(n_frames, dtype=np.float32) * np.float32(dt)
+    return run(jnp.asarray(ts))
+
+
+_cache: dict = {}
+
+
+def _compiled_animation(frame_fn, srgb: bool, keep: str):
+    """One jitted scan program per (frame_fn, srgb, keep) — repeated
+    render_animation calls with the same frame function and frame count
+    reuse the compiled executable instead of retracing."""
+    if keep not in ("all", "last"):
+        raise ValueError(f"keep must be 'all' or 'last', got {keep!r}")
+    key = (id(frame_fn), srgb, keep)
+    if key in _cache:
+        return _cache[key]
+
+    def to_u8(out):
+        img = out.color if isinstance(out, Framebuffer) else out
+        h, w = img.shape[0], img.shape[1]
+        return encode_present(img, w, h, srgb)
+
+    @jax.jit
+    def run(ts):
+        def step(carry, t):
+            img = to_u8(frame_fn(t))
+            if keep == "all":
+                return carry, img
+            return img, ()
+
+        init = (jnp.zeros((), jnp.int32) if keep == "all"
+                else to_u8(frame_fn(ts[0])) * 0)
+        last, stacked = jax.lax.scan(step, init, ts)
+        return stacked if keep == "all" else last
+
+    _cache[key] = run
+    return run

@@ -6,24 +6,27 @@ unbuilt goal, README.md:7). TPU-first design:
 1. **Project** (jnp, dense): quats→rotations→3D covariances, EWA first-order
    projection to screen-space conics, radius from eigenvalues — all (N,·)
    vector math, one shot, MXU/VPU friendly.
-2. **Depth sort** (XLA): one global argsort of view depth. Front-to-back
-   order is then preserved through binning because the tile sort below is
-   stable.
-3. **Tile binning** (XLA sort + scatter/gather, no atomics): each splat
-   emits up to K=KX·KY (tile, splat) candidate pairs; a stable sort by tile
-   id groups pairs into per-tile runs which are repacked *chunk-aligned*
-   (each tile's run padded to a multiple of CHUNK splats with null entries)
-   so the composite kernel can stream fixed-size blocks.
-4. **Composite** (Pallas): a 1-D grid over chunks. Scalar-prefetched maps
-   assign each chunk to its framebuffer tile — the output BlockSpec's index
-   map reads them, so consecutive chunks of one tile accumulate in a
-   resident VMEM block (transmittance + RGB), written back exactly once per
-   tile. Per splat: conic quadratic → alpha → front-to-back transmittance
-   fold over the whole (16, 128)-pixel tile as dense VPU ops.
+2. **Fused bin+sort** (XLA, no atomics): each splat emits K=KX·ky
+   candidate (tile, splat) pairs keyed ``tile << db | quantized_depth``;
+   ONE stable int32 sort yields per-tile runs that are front-to-back
+   within each run (the classic 3DGS combined radix key). Corner tiles a
+   splat's circular footprint misses are culled at emission.
+3. **Direct chunk layout**: the kernel streams contiguous 128-pair blocks
+   of the sorted array; scalar-prefetched per-step maps carry the owning
+   tile and its [lo, hi) pair range, and blocks straddling a tile
+   boundary run once per adjacent tile with complementary row masks. The
+   only data movement between sort and kernel is one row gather of the
+   (N, 12) record table into sorted-pair order.
+4. **Composite** (Pallas): a 1-D grid over steps. Consecutive steps of one
+   tile accumulate in a resident VMEM block (transmittance + RGB), written
+   back once per tile. Per chunk: conic quadratic → alpha over the whole
+   (16, 128)-pixel tile, exclusive transmittance prefix as one
+   strictly-lower-triangular MXU matmul, RGB accumulation as a second MXU
+   contraction, SMEM saturation early-out.
 
-Known round-1 limits (documented, perf/LOD work tracked in BENCHLOG.md):
-radius is clamped so a splat spans at most KX×KY tiles (large near-camera
-splats truncate); compositing is strictly sequential per chunk.
+Known limits (perf/LOD work tracked in BENCHLOG.md): radius is clamped so
+a splat spans at most KX×ky tiles (large near-camera splats truncate);
+compositing is strictly sequential per step within a tile.
 """
 
 from __future__ import annotations
@@ -54,12 +57,16 @@ _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
 
-# record columns (records are (N, 16) rows — one contiguous 64-byte row
-# per splat so every binning gather is a row DMA, not 10 scalar gathers).
-# NOTE: 12 columns would suffice but (CHUNK, 12) record blocks produce
-# wrong results in this Mosaic version — keep the 16-column layout.
-_MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2, _VAL, _RAD, _DEPTH = range(12)
-_ROWS = 16
+# record columns — one contiguous row per splat so the pack gather is a
+# row DMA. The XLA row gather is ELEMENT-count bound (~2.2G elem/s
+# measured, tools/exp_blocks.py), so the table carries only what the
+# composite kernel reads: 9 columns padded to 12 (Mosaic (CHUNK, 12)
+# blocks re-validated correct on this toolchain — the round-1 corruption
+# did not reproduce; tools/exp_blocks.py probes it each run).
+# Validity is encoded as op == 0; radius/depth live in ProjectedSplats
+# and never enter the kernel table.
+_MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2 = range(9)
+_ROWS = 12
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -180,16 +187,17 @@ def project_gaussians(means, scales, quats, opacities, colors,
 
 
 def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
-    """(N, 16) f32 splat records, one contiguous row per splat."""
+    """(N, 12) f32 splat records, one contiguous row per splat. Culled
+    splats carry opacity 0 (their pairs never reach a [lo, hi) range
+    anyway — the zero is belt-and-braces)."""
     n = ps.depth.shape[0]
     valid = jnp.isfinite(ps.depth).astype(jnp.float32)
     cols = jnp.stack([
         ps.mean2d[:, 0], ps.mean2d[:, 1],
         ps.conic[:, 0], ps.conic[:, 1], ps.conic[:, 2],
-        ps.opacity, ps.color[:, 0], ps.color[:, 1], ps.color[:, 2],
-        valid, ps.radius.astype(jnp.float32),
-        jnp.where(valid > 0.5, ps.depth, jnp.inf),
-    ], -1)                                                  # (N, 12)
+        ps.opacity * valid,
+        ps.color[:, 0], ps.color[:, 1], ps.color[:, 2],
+    ], -1)                                                  # (N, 9)
     pad = jnp.zeros((n, _ROWS - cols.shape[1]), jnp.float32)
     return jnp.concatenate([cols, pad], -1)
 
@@ -234,14 +242,26 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
     ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
 
-    # K candidate tiles per splat (static small fan-out)
+    # K candidate tiles per splat (static small fan-out). Beyond the bbox
+    # test, a circle-vs-tile-rect test drops the corner tiles of a
+    # splat's span that its circular footprint misses — fewer real pairs
+    # means a smaller pack gather and fewer composite steps (the sort
+    # size is static regardless).
     sentinel = ntiles << db
+    r2 = r * r
     keys = []
     for dy in range(ky):
         for dx in range(KX):
             ty = ty0 + dy
             tx = tx0 + dx
             ok = valid & (ty <= ty1) & (tx <= tx1)
+            rx0 = (tx * TILE_W).astype(jnp.float32)
+            ry0 = (ty * TILE_H).astype(jnp.float32)
+            ddx = jnp.maximum(jnp.maximum(rx0 - mx, mx - (rx0 + TILE_W)),
+                              0.0)
+            ddy = jnp.maximum(jnp.maximum(ry0 - my, my - (ry0 + TILE_H)),
+                              0.0)
+            ok &= ddx * ddx + ddy * ddy <= r2
             keys.append(jnp.where(ok, ((ty * ntx + tx) << db) | qd,
                                   sentinel))
     key_flat = jnp.stack(keys, -1).reshape(-1)              # (N*K,)
@@ -261,12 +281,17 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     startc = start[:-1]
     count = start[1:] - startc                               # (ntiles,)
     if max_per_tile is not None:
-        # per-tile depth-ordered LOD drop: splats are front-to-back within
-        # each tile's run, so capping the count discards the FARTHEST
-        # splats of pathological tiles — never whole tiles. With the
-        # direct layout this simply shortens the tile's step range; the
-        # skipped pairs are never touched.
-        count = jnp.minimum(count, max_per_tile)
+        # per-tile depth-ordered LOD drop (COMPACT fixed-stride layout):
+        # splats are front-to-back within each tile's run, so capping the
+        # count discards the FARTHEST splats of pathological tiles —
+        # never whole tiles. Every tile gets exactly pad(max_per_tile)
+        # pack slots at a fixed stride, so the pack array and the step
+        # grid shrink to ntiles * pad(max_per_tile) regardless of scene
+        # depth, and all step maps are pure arithmetic.
+        kept = jnp.minimum(count, max_per_tile)
+        overflow = jnp.sum(count - kept)
+        return _compact_layout(sorted_splat, startc, kept, ntiles,
+                               max_per_tile) + (kept > 0, overflow)
     # the cap never needs to exceed the (padded) emission count
     cap_pairs = min(cap_pairs, _pad_to(m, CHUNK))
     total_pairs = start[ntiles]
@@ -311,6 +336,39 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     return pack_idx, steps, visited, overflow
 
 
+def _compact_layout(sorted_splat, startc, kept, ntiles: int,
+                    max_per_tile: int):
+    """Fixed-stride compact pack layout for the per-tile LOD mode.
+
+    Tile t owns pack rows [t*S, t*S + kept[t]) with S = pad(max_per_tile,
+    CHUNK); the step grid is exactly ntiles * S/CHUNK. The composite
+    kernel is unchanged: step_block indexes the compact pack array and
+    [lo, hi) are compact coordinates. Returns (pack_idx, steps)."""
+    stride = _pad_to(max_per_tile, CHUNK)
+    kpt = stride // CHUNK
+    nsteps = ntiles * kpt
+    sid = jnp.arange(nsteps, dtype=jnp.int32)
+    t_of = sid // kpt
+    local_chunk = sid % kpt
+    kept_t = kept[t_of]
+    alive = local_chunk * CHUNK < kept_t
+    step_tile = jnp.where(alive, t_of, ntiles)
+    step_first = (alive & (local_chunk == 0)).astype(jnp.int32)
+    step_block = sid
+    step_lo = t_of * stride
+    step_hi = step_lo + kept_t
+    steps = (step_tile, step_first, step_block, step_lo, step_hi)
+
+    pos = jnp.arange(ntiles * stride, dtype=jnp.int32)
+    t = pos // stride
+    local = pos % stride
+    src = jnp.minimum(startc[t] + local,
+                      sorted_splat.shape[0] - 1)
+    live = local < kept[t]
+    pack_idx = jnp.take(sorted_splat, jnp.where(live, src, 0))
+    return pack_idx, steps
+
+
 def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
     """One row-gather of (N, 16) records into sorted-pair order (CAP, 16).
     Rows past each tile's [lo, hi) pair range are masked in-kernel, so no
@@ -324,7 +382,7 @@ _PIX = TILE_H * TILE_W          # pixels per tile, flattened (2048)
 def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
                       step_lo_ref, step_hi_ref, rec_ref,
                       r_ref, g_ref, b_ref, t_ref, sat_ref, *,
-                      ntx, ntiles):
+                      ntx, ntiles, prefix_bf16=False):
     """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
     pixel block — no per-splat scalar loop.
 
@@ -360,11 +418,12 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
                              tile, ntx,
                              step_block_ref[si] * CHUNK,
-                             step_lo_ref[si], step_hi_ref[si])
+                             step_lo_ref[si], step_hi_ref[si],
+                             prefix_bf16)
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
-                     ntx, base, lo, hi):
+                     ntx, base, lo, hi, prefix_bf16=False):
     ty0 = (tile // ntx) * TILE_H
     tx0 = (tile % ntx) * TILE_W
     # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
@@ -384,16 +443,22 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     # rows outside this tile's [lo, hi) sorted-pair range belong to a
     # neighboring tile (boundary block) or the sentinel tail — mask them
     rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base
-    live = (col(_VAL) > 0.5) & (rows >= lo) & (rows < hi)
+    live = (rows >= lo) & (rows < hi)
     alpha = jnp.where(live & (alpha >= _ALPHA_MIN), alpha, 0.0)
 
     log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))     # (C, P)
-    # strictly-lower-triangular ones → exclusive prefix over splats
+    # strictly-lower-triangular ones → exclusive prefix over splats.
+    # The ltri matrix is 0/1 (exact in bf16); with prefix_bf16 the
+    # within-chunk prefix runs the MXU at 2x rate while the CROSS-chunk
+    # transmittance below keeps an exact f32 sum, so quantization never
+    # accumulates across a tile's chunk list (A/B: 52.6 dB vs f32 on the
+    # 1M bench scene — see BENCHLOG round 2).
+    mm_dtype = jnp.bfloat16 if prefix_bf16 else jnp.float32
     ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    ltri = (ri > cj).astype(jnp.float32)
+    ltri = (ri > cj).astype(mm_dtype)
     prefix = jax.lax.dot_general(
-        ltri, log_om, (((1,), (0,)), ((), ())),
+        ltri, log_om.astype(mm_dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (C, P)
     t_in = t_ref[0]                                      # (1, P)
     w = alpha * jnp.exp(prefix) * t_in                   # (C, P)
@@ -410,7 +475,8 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     sat_ref[0] = (jnp.max(t_new) < _T_EPS).astype(jnp.int32)
 
 
-def _composite_call(records, steps, nty, ntx, interpret):
+def _composite_call(records, steps, nty, ntx, interpret,
+                    prefix_bf16=False):
     """Returns 4 tile-flattened planes (ntiles+1, 2048): r, g, b, T.
     Row ``ntiles`` is the sentinel dump for unused steps; use
     :func:`_untile` to get image-shaped planes. ``steps`` is the
@@ -418,7 +484,8 @@ def _composite_call(records, steps, nty, ntx, interpret):
     ntiles = nty * ntx
     step_tile, step_first, step_block, step_lo, step_hi = steps
     nsteps = step_tile.shape[0]
-    kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles)
+    kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles,
+                               prefix_bf16=prefix_bf16)
 
     def out_map(si, st, sf, sb, sl, sh):
         return (jnp.minimum(st[si], ntiles), 0, 0)  # sentinel → extra row
@@ -473,6 +540,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      ky: int = KY,
                      max_splats_per_tile: int | None = None,
                      return_stats: bool = False,
+                     prefix_bf16: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
@@ -524,10 +592,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         cap_pairs = min(exact_cap,
                         max(pairs_cap_factor * n, 4 * CHUNK)
                         + ntiles * CHUNK)
-    if max_splats_per_tile is not None:
-        # per-tile cap hard-bounds the chunk-aligned total
-        cap_pairs = min(cap_pairs,
-                        ntiles * _pad_to(max_splats_per_tile, CHUNK))
+    # (max_splats_per_tile sizes its own compact pack layout inside
+    # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = _pad_to(cap_pairs, CHUNK)
     with jax.named_scope("gs.bin"):
         pack_idx, steps, visited, overflow = _bin_splats(
@@ -538,7 +604,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         packed = _pack_records(records, pack_idx)
 
     with jax.named_scope("gs.composite"):
-        r, g, b, t = _composite_call(packed, steps, nty, ntx, interpret)
+        r, g, b, t = _composite_call(packed, steps, nty, ntx, interpret,
+                                     prefix_bf16=prefix_bf16)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
     img = img[:height, :width]
     if return_stats:

@@ -63,10 +63,9 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     if n % d:
         raise ValueError(f"splat count {n} not divisible by mesh size {d}")
 
+    # (max_splats_per_tile sizes its own compact pack layout inside
+    # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = n * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
-    if max_splats_per_tile is not None:
-        cap_pairs = min(cap_pairs, nty_local * ntx
-                        * _pad_to(max_splats_per_tile, gs_ops.CHUNK))
     cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK)
 
     def local_render(means, scales, quats, opac, colors, sh_rest):
@@ -81,23 +80,31 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         ps_local = gs_ops.project_gaussians(means, scales, quats, opac,
                                             colors, view, proj,
                                             width, height, ky=ky)
-        rec_local = gs_ops._make_records(ps_local)
-        records = jax.lax.all_gather(rec_local, axis, axis=0, tiled=True)
+        rec_local = gs_ops._make_records(ps_local)          # (n/d, 12)
+        # binning columns (radius/depth/valid) ride the same all_gather
+        # as the kernel record table: one (n/d, 16) ICI collective
+        aux = jnp.stack([ps_local.radius.astype(jnp.float32),
+                         jnp.where(jnp.isfinite(ps_local.depth),
+                                   ps_local.depth, jnp.inf),
+                         jnp.isfinite(ps_local.depth).astype(jnp.float32),
+                         jnp.zeros_like(ps_local.depth)], -1)
+        packet = jnp.concatenate([rec_local, aux], -1)      # (n/d, 16)
+        packet = jax.lax.all_gather(packet, axis, axis=0, tiled=True)
+        records, rad = packet[:, :gs_ops._ROWS], packet[:, gs_ops._ROWS]
+        depth, valid = packet[:, gs_ops._ROWS + 1], packet[
+            :, gs_ops._ROWS + 2] > 0.5
 
         # --- tile-parallel composite: this device's row band ---
         band = jax.lax.axis_index(axis)
         y0 = (band * band_px).astype(jnp.float32)
         my = records[:, gs_ops._MY]
-        r = records[:, gs_ops._RAD]
-        in_band = (my + r > y0) & (my - r < y0 + band_px)
-        live = records[:, gs_ops._VAL] * in_band.astype(jnp.float32)
-        records = records.at[:, gs_ops._VAL].set(live)
+        in_band = (my + rad > y0) & (my - rad < y0 + band_px)
         records = records.at[:, gs_ops._MY].add(-y0)
 
         pack_idx, steps, visited, _ = \
             gs_ops._bin_splats(records[:, gs_ops._MX],
-                               records[:, gs_ops._MY], r, live > 0.5,
-                               records[:, gs_ops._DEPTH],
+                               records[:, gs_ops._MY], rad,
+                               valid & in_band, depth,
                                ntx, nty_local, cap_pairs, ky=ky,
                                max_per_tile=max_splats_per_tile)
         packed = gs_ops._pack_records(records, pack_idx)

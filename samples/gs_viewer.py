@@ -52,6 +52,14 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--static-camera", action="store_true",
                     help="config 4 (static scene) instead of flythrough")
+    ap.add_argument("--max-per-tile", type=int, default=384,
+                    help="per-tile LOD: keep the nearest N splats per "
+                         "16x128 tile (BASELINE config 5's 'LOD culling'; "
+                         "68 dB vs exact on the 1M bench scene — "
+                         "BENCHLOG). 0 = exact")
+    ap.add_argument("--cap-factor", type=int, default=4,
+                    help="pair buffer size in pairs/splat (0 = exact "
+                         "worst case)")
     ap.add_argument("--out", default="/tmp/rayeater_gs")
     args = ap.parse_args(argv)
 
@@ -69,30 +77,34 @@ def main(argv=None):
 
     # cloud passed as a jit argument: keeps the splat data in HBM once
     # rather than baked into the executable as constants
-    @jax.jit
-    def frame_fn(c, t):
+    cloud = jax.device_put(cloud)
+
+    def frame_t(t):
         view, proj, eye = orbit_camera(t, aspect=W / H)
-        return render_gaussians(c, view, proj, W, H,
+        return render_gaussians(cloud, view, proj, W, H,
                                 background=(0.0, 0.0, 0.0),
                                 cam_pos=eye,   # view-dependent SH colors
+                                max_splats_per_tile=args.max_per_tile
+                                or None,
+                                pairs_cap_factor=args.cap_factor or None,
                                 interpret=interpret)
 
-    cloud = jax.device_put(cloud)
-    frame_program = lambda t: frame_fn(cloud, t)
-
     os.makedirs(args.out, exist_ok=True)
-    img = frame_program(np.float32(0.0))
-    ctx.wait_idle(img)
-    log.info("compiled gs frame program on %s", ctx.device)
+    # device-resident loop: the flythrough is ONE dispatch (per-frame
+    # host dispatches through a tunnel both cost ~100 ms AND report
+    # async-skewed timings)
+    dt0 = 0.0 if args.static_camera else 1.0 / 60.0
+    frames = re.render_animation(frame_t, args.frames, dt=dt0)
+    jax.block_until_ready(frames)      # warm-up compile
+    log.info("compiled %d-frame gs scan on %s", args.frames, ctx.device)
 
     t0 = time.perf_counter()
-    for i in range(args.frames):
-        t = 0.0 if args.static_camera else i / 60.0
-        img = frame_program(np.float32(t))
-    jax.block_until_ready(img)
+    frames = jax.block_until_ready(
+        re.render_animation(frame_t, args.frames, dt=dt0))
     dt = time.perf_counter() - t0
 
-    save_png(os.path.join(args.out, "frame_last.png"), to_srgb_u8(img))
+    save_png(os.path.join(args.out, "frame_last.png"),
+             np.asarray(frames[-1]))
     fps = args.frames / dt
     mode = "static" if args.static_camera else "flythrough"
     print(f"gs_viewer[{mode}]: {args.frames} frames {W}x{H} {n} splats in "

@@ -62,7 +62,10 @@ def main(argv=None):
     ap.add_argument("--obj", default=None,
                     help="render a Wavefront OBJ mesh instead of the grid")
     ap.add_argument("--no-present", action="store_true",
-                    help="measure device-side FPS without host readback")
+                    help="with --host-loop: skip per-frame host readback")
+    ap.add_argument("--host-loop", action="store_true",
+                    help="one dispatch per frame + swapchain present "
+                         "instead of the device-resident scan")
     ap.add_argument("--out", default="/tmp/rayeater_multipass")
     args = ap.parse_args(argv)
 
@@ -122,27 +125,39 @@ def main(argv=None):
     frame = graph.bake()
     log.info("baked: %s", frame.pass_names)
 
-    sc = re.Swapchain(ctx, W, H)
     os.makedirs(args.out, exist_ok=True)
 
-    fb = frame(t=np.float32(0.0))["fb"]
-    ctx.wait_idle(fb.color)
+    if not args.host_loop:
+        # device-resident loop: scan the baked graph over the time axis —
+        # the whole animation is one dispatch
+        frame_t = lambda t: frame(t=t)["fb"]
+        frames = re.render_animation(frame_t, args.frames, dt=0.0)
+        jax.block_until_ready(frames)       # warm-up compile
+        t0 = time.perf_counter()
+        frames = jax.block_until_ready(
+            re.render_animation(frame_t, args.frames))
+        dt = time.perf_counter() - t0
+        last = np.asarray(frames[-1])
+    else:
+        sc = re.Swapchain(ctx, W, H)
+        fb = frame(t=np.float32(0.0))["fb"]
+        ctx.wait_idle(fb.color)
 
-    t0 = time.perf_counter()
-    img = None
-    for i in range(args.frames):
-        fb = frame(t=np.float32(i / 60.0))["fb"]
-        if not args.no_present:
-            out = sc.present(fb)
-            img = out if out is not None else img
-    if args.no_present:
-        jax.block_until_ready(fb.color)
-        img = sc.present(fb)
-    tail = list(sc.drain())
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        img = None
+        for i in range(args.frames):
+            fb = frame(t=np.float32(i / 60.0))["fb"]
+            if not args.no_present:
+                out = sc.present(fb)
+                img = out if out is not None else img
+        if args.no_present:
+            jax.block_until_ready(fb.color)
+            img = sc.present(fb)
+        tail = list(sc.drain())
+        dt = time.perf_counter() - t0
+        last = tail[-1] if tail else img
 
-    save_png(os.path.join(args.out, "frame_last.png"),
-             tail[-1] if tail else img)
+    save_png(os.path.join(args.out, "frame_last.png"), last)
     fps = args.frames / dt
     mpix = W * H * fps / 1e6
     print(f"multipass: {args.frames} frames {W}x{H} "

@@ -200,6 +200,19 @@ def test_ky_span_knob():
     assert np.abs(img4 - img3).mean() < 0.01
 
 
+def test_compact_lod_matches_exact_when_not_binding():
+    # a max_splats_per_tile larger than any tile's list must reproduce the
+    # exact render bit-for-bit (same pairs, same order, compact layout)
+    view, proj = camera()
+    cloud = random_cloud(800, seed=5, extent=0.8, scale_range=(0.02, 0.08))
+    a = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                    interpret=True))
+    b = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                    max_splats_per_tile=4096,
+                                    interpret=True))
+    assert np.abs(a - b).max() < 1e-6
+
+
 def test_max_splats_per_tile_lod():
     # per-tile cap: dropping the farthest splats of deep tiles — the near
     # (opaque) splat must survive, and output stays finite everywhere
