@@ -51,11 +51,11 @@ def main():
     # verified each run via the overflow stat printed below. Override with
     # RAYEATER_BENCH_CAP_FACTOR (0 = exact worst-case buffers).
     capf = int(os.environ.get("RAYEATER_BENCH_CAP_FACTOR", 4)) or None
-    # per-tile LOD: keep the nearest 384 splats per 16x128 tile (the
-    # transmittance saturates long before that on this scene — 68.2 dB
+    # per-tile LOD: keep the nearest 512 splats per 32x128 tile (the
+    # transmittance saturates long before that on this scene — 66.9 dB
     # PSNR vs the exact render, same-process A/B in BENCHLOG round 2).
     # RAYEATER_BENCH_MPT=0 renders exact.
-    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 384)) or None
+    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 512)) or None
 
     @jax.jit
     def frame_fn(c, t):

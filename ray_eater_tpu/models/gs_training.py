@@ -14,8 +14,16 @@ projection, depth-ordered transmittance, and compositing. Scaling strategy:
 * parameters live in activation space (log-scale, opacity logit, raw quat)
   like the original 3DGS optimizer, so optimization is unconstrained.
 
-A custom-VJP Pallas backward (to train at 1M-splat scale) is the planned
-next step; this path trains small/medium clouds and defines the API.
+Two differentiable renderers are provided:
+
+* :func:`render_diff` — pure jnp, autodiff end to end. Materializes
+  (row_chunk x W x N) alpha tensors: small/medium clouds only, but a
+  fully independent derivation used to validate the kernel path.
+* :func:`render_diff_pallas` — the production Pallas pipeline with a
+  custom-VJP reverse-sweep kernel (ops/gs.py composite_diff). Compact
+  per-tile LOD bounds the backward checkpoint memory, so this path trains
+  1M-splat scenes at full resolution. Gradients validated against jnp
+  autodiff of the same composite to ~2e-7 relative (tests/test_gs_training).
 """
 
 from __future__ import annotations
@@ -116,6 +124,44 @@ def render_diff(params: GaussianParams, view, proj, width: int, height: int,
     y0s = jnp.arange(nrows, dtype=jnp.float32) * row_chunk
     img = jax.lax.map(render_rows, y0s)                  # (nrows, R, W, 3)
     return img.reshape(nrows * row_chunk, width, 3)[:height]
+
+
+def render_diff_pallas(params: GaussianParams, view, proj, width: int,
+                       height: int, background=(0.0, 0.0, 0.0),
+                       max_splats_per_tile: int = 256,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Differentiable render through the production Pallas pipeline
+    (custom-VJP composite backward) — the 1M-splat-scale training path.
+    Cites ops/gs.py render_gaussians_diff for the kernel details."""
+    from ..ops.gs import render_gaussians_diff
+    cloud = cloud_from_params(params)
+    return render_gaussians_diff(
+        cloud.means, cloud.scales, cloud.quats, cloud.opacities,
+        cloud.colors, view, proj, width, height, background=background,
+        max_splats_per_tile=max_splats_per_tile, interpret=interpret)
+
+
+def make_train_step_pallas(optimizer, view, proj,
+                           background=(0.0, 0.0, 0.0),
+                           max_splats_per_tile: int = 256,
+                           interpret: bool = False):
+    """Single-device training step through the Pallas kernels — scales to
+    1M splats (the jnp path's (pixels x splats) tensors do not)."""
+
+    def loss_fn(params, target):
+        img = render_diff_pallas(params, view, proj, target.shape[1],
+                                 target.shape[0], background,
+                                 max_splats_per_tile, interpret)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step
 
 
 def l2_loss(params, view, proj, target, background=(0.0, 0.0, 0.0),

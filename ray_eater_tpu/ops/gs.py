@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,15 +45,18 @@ from ..utils.logging import scoped
 
 _log = scoped("gs")
 
-TILE_H = 16
+TILE_H = 32
 TILE_W = 128
 CHUNK = 128      # splats per kernel grid step
 KX = 2           # max horizontal tile span per splat
-#: default max vertical tile span per splat. 3 clamps splat radii to 15 px
-#: and is ~1.9x faster end-to-end than 4 (radius ≤ 23 px) at 38.9 dB PSNR
-#: on the 1M-splat benchmark scene (see BENCHLOG.md); pass ky=4+ to
-#: render_gaussians for scenes dominated by large near-camera splats.
-KY = 3
+#: default max vertical tile span per splat. With (32, 128) tiles, ky=2
+#: clamps splat radii to 15 px (identical clamp to round 1's ky=3 on
+#: 16-tall tiles) while emitting K = 4 instead of 6 candidate pairs per
+#: splat — a 33% smaller binning sort. The composite is step-overhead
+#: bound, so the doubled per-tile pixel count is nearly free (BENCHLOG
+#: round 2). ky=3 raises the clamp to 31 px for scenes dominated by
+#: large near-camera splats.
+KY = 2
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
@@ -270,10 +274,13 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     splat_of_pair = jnp.stack(
         [jnp.arange(n, dtype=jnp.int32)] * k_fan, -1).reshape(-1)
 
-    # one stable sort by (tile, depth); the payload carries splat ids so
-    # the pack gather below needs no permutation indirection
+    # one sort by (tile, depth); the payload carries splat ids so the
+    # pack gather below needs no permutation indirection. UNSTABLE is
+    # ~1.8x faster (8 vs 14 ms at 6M on v5e, tools/exp_sort.py) — ties
+    # (same tile, same quantized depth: ~2^-21 of the depth range)
+    # composite in arbitrary but deterministic order.
     sorted_key, sorted_splat = jax.lax.sort(
-        (key_flat, splat_of_pair), num_keys=1, is_stable=True)
+        (key_flat, splat_of_pair), num_keys=1, is_stable=False)
 
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_key, tvec << db,
@@ -376,7 +383,7 @@ def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
     return jnp.take(records, pack_idx, axis=0)              # (CAP, 16)
 
 
-_PIX = TILE_H * TILE_W          # pixels per tile, flattened (2048)
+_PIX = TILE_H * TILE_W          # pixels per tile, flattened
 
 
 def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
@@ -448,11 +455,10 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
 
     log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))     # (C, P)
     # strictly-lower-triangular ones → exclusive prefix over splats.
-    # The ltri matrix is 0/1 (exact in bf16); with prefix_bf16 the
-    # within-chunk prefix runs the MXU at 2x rate while the CROSS-chunk
-    # transmittance below keeps an exact f32 sum, so quantization never
-    # accumulates across a tile's chunk list (A/B: 52.6 dB vs f32 on the
-    # 1M bench scene — see BENCHLOG round 2).
+    # prefix_bf16 requests a bf16 within-chunk prefix (cross-chunk T
+    # below keeps an exact f32 sum) — NOTE: this Mosaic version silently
+    # promotes the bf16 dot to f32 (measured identical output and timing,
+    # BENCHLOG round 2), so the flag is currently a no-op on TPU.
     mm_dtype = jnp.bfloat16 if prefix_bf16 else jnp.float32
     ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
@@ -509,6 +515,305 @@ def _composite_call(records, steps, nty, ntx, interpret,
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(step_tile, step_first, step_block, step_lo, step_hi, records)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable composite: custom-VJP Pallas forward/backward pair.
+#
+# The forward is the production kernel plus a per-step ENTRY-transmittance
+# checkpoint (nsteps, 1, PIX) — exact backward reconstruction without the
+# log-underflow of back-dividing T_final (deep tiles saturate f32). With
+# the compact LOD layout the checkpoint is ntiles*pad(mpt)/CHUNK blocks
+# (~66 MB at 1080p/mpt=384), which is what makes 1M-splat training fit.
+# The backward sweeps each tile's steps in REVERSE, carrying one (1, PIX)
+# suffix plane SB = Σ_{later splats} (c·dC)·w, and emits per-packed-row
+# gradients; jnp.take's native VJP scatter-adds them onto the (N, 12)
+# record table, from which JAX autodiff reaches the projection math.
+# ---------------------------------------------------------------------------
+
+
+def _composite_kernel_ckpt(step_tile_ref, step_first_ref, step_block_ref,
+                           step_lo_ref, step_hi_ref, rec_ref,
+                           r_ref, g_ref, b_ref, t_ref, tck_ref, sat_ref, *,
+                           ntx, ntiles):
+    """Forward kernel + per-step entry-T checkpoint (training mode)."""
+    si = pl.program_id(0)
+    tile = step_tile_ref[si]
+
+    @pl.when(tile < ntiles)
+    def _():
+        @pl.when(step_first_ref[si] == 1)
+        def _init():
+            r_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
+            g_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
+            b_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
+            t_ref[0] = jnp.ones((1, _PIX), jnp.float32)
+            sat_ref[0] = 0
+
+        tck_ref[0] = t_ref[0]          # transmittance at chunk ENTRY
+
+        @pl.when(sat_ref[0] == 0)
+        def _run():
+            _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
+                             tile, ntx,
+                             step_block_ref[si] * CHUNK,
+                             step_lo_ref[si], step_hi_ref[si])
+
+
+def _composite_call_ckpt(records, steps, nty, ntx, interpret):
+    """Forward planes + (nsteps, 1, PIX) entry-T checkpoints."""
+    ntiles = nty * ntx
+    step_tile, step_first, step_block, step_lo, step_hi = steps
+    nsteps = step_tile.shape[0]
+    kernel = functools.partial(_composite_kernel_ckpt, ntx=ntx,
+                               ntiles=ntiles)
+
+    def out_map(si, st, sf, sb, sl, sh):
+        return (jnp.minimum(st[si], ntiles), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, _ROWS),
+                         lambda si, st, sf, sb, sl, sh: (sb[si], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, _PIX), out_map,
+                                memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((1, 1, _PIX),
+                        lambda si, st, sf, sb, sl, sh: (si, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+    out_shape = ([jax.ShapeDtypeStruct((ntiles + 1, 1, _PIX),
+                                       jnp.float32)] * 4
+                 + [jax.ShapeDtypeStruct((nsteps, 1, _PIX), jnp.float32)])
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(step_tile, step_first, step_block, step_lo, step_hi, records)
+
+
+def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
+                          newblk_ref, rsi_ref, rec_ref, tck_ref, tfin_ref,
+                          dr_ref, dg_ref, db_ref, dtc_ref,
+                          dpk_ref, sb_scr, *, ntx, ntiles):
+    """Reverse-sweep gradient of the composite w.r.t. packed records.
+
+    Standard 3DGS backward: dL/dc_i = w_i·dC; dL/dα_i = (c_i·dC)·T_i −
+    [Σ_{j>i}(c_j·dC)w_j + dT·T_N]/(1−α_i); α/conic/mean grads via the
+    quadratic chain. The within-chunk suffix is one strictly-UPPER-
+    triangular MXU matmul; the cross-chunk suffix rides a (1, PIX) VMEM
+    scratch, and T_i comes from the forward's entry-T checkpoint."""
+    si = pl.program_id(0)
+    tile = rt_ref[si]
+
+    @pl.when(newblk_ref[si] == 1)
+    def _zero():
+        dpk_ref[...] = jnp.zeros((CHUNK, _ROWS), jnp.float32)
+
+    @pl.when(tile < ntiles)
+    def _():
+        @pl.when(rfirst_ref[si] == 1)
+        def _init():
+            sb_scr[...] = jnp.zeros((1, _PIX), jnp.float32)
+
+        t_entry = tck_ref[0]                             # (1, P)
+        # forward skipped this chunk iff its entry T was saturated
+        @pl.when(jnp.max(t_entry) >= _T_EPS)
+        def _run():
+            base = rb_ref[si] * CHUNK
+            lo = rl_ref[si]
+            hi = rh_ref[si]
+            ty0 = (tile // ntx) * TILE_H
+            tx0 = (tile % ntx) * TILE_W
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base
+            live = (rows >= lo) & (rows < hi)
+            col = lambda c: rec_ref[:, c:c + 1]
+            ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            ltri = (ri > cj).astype(jnp.float32)
+            utri = (ri < cj).astype(jnp.float32)
+
+            # (C, 1) per-splat accumulators summed over pixel sub-spans
+            acc = [jnp.zeros((CHUNK, 1), jnp.float32) for _ in range(9)]
+            # pixel axis processed in SPAN-wide slices: the full set of
+            # (C, PIX) f32 temporaries (~13 of them) would need ~27 MB of
+            # scoped VMEM at PIX=4096 — over the 16 MB limit
+            span = 1024
+            for s0 in range(0, _PIX, span):
+                sl_px = slice(s0, s0 + span)
+                i = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1) + s0
+                px = (jax.lax.bitwise_and(i, TILE_W - 1) + tx0
+                      ).astype(jnp.float32) + 0.5
+                py = (jax.lax.shift_right_logical(i, 7) + ty0
+                      ).astype(jnp.float32) + 0.5
+                dx = px - col(_MX)                       # (C, S)
+                dy = py - col(_MY)
+                power = (-0.5 * (col(_CA) * dx * dx
+                                 + col(_CC) * dy * dy)
+                         - col(_CB) * dx * dy)
+                alpha_raw = col(_OP) * jnp.exp(power)
+                alpha = jnp.minimum(alpha_raw, _ALPHA_MAX)
+                keep = live & (alpha_raw >= _ALPHA_MIN)
+                alpha = jnp.where(keep, alpha, 0.0)
+
+                log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))
+                prefix = jax.lax.dot_general(
+                    ltri, log_om, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (C, S)
+                t_i = t_entry[:, sl_px] * jnp.exp(prefix)
+                w = alpha * t_i
+
+                dr = dr_ref[0][:, sl_px]                 # (1, S)
+                dg = dg_ref[0][:, sl_px]
+                db = db_ref[0][:, sl_px]
+                dtc = dtc_ref[0][:, sl_px]
+                tfin = tfin_ref[0][:, sl_px]
+
+                rsum = lambda x: jnp.sum(x, axis=1, keepdims=True)
+                # color grads: dc_i = Σ_p w_i dC
+                acc[5] += rsum(w * dr)
+                acc[6] += rsum(w * dg)
+                acc[7] += rsum(w * db)
+
+                # alpha grads
+                a_dot = (col(_CR) * dr + col(_CG) * dg
+                         + col(_CB2) * db)               # (C, S)
+                aw = a_dot * w
+                suffix = jax.lax.dot_general(
+                    utri, aw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (C, S)
+                suffix = suffix + sb_scr[:, sl_px]       # + later chunks
+                inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-6)
+                d_alpha = a_dot * t_i - (suffix + dtc * tfin) * inv_om
+
+                # clamp/floor: no grad where alpha was clamped or floored
+                g_mask = keep & (alpha_raw < _ALPHA_MAX)
+                gpow = jnp.where(g_mask, alpha * d_alpha, 0.0)
+                acc[4] += rsum(jnp.where(g_mask,
+                                         jnp.exp(power) * d_alpha, 0.0))
+                acc[0] += rsum(gpow * (col(_CA) * dx + col(_CB) * dy))
+                acc[1] += rsum(gpow * (col(_CB) * dx + col(_CC) * dy))
+                acc[2] += rsum(gpow * (-0.5) * dx * dx)
+                acc[3] += rsum(gpow * (-dx * dy))
+                acc[8] += rsum(gpow * (-0.5) * dy * dy)
+                sb_scr[:, sl_px] = (sb_scr[:, sl_px]
+                                    + jnp.sum(aw, axis=0, keepdims=True))
+
+            zero = jnp.zeros((CHUNK, 1), jnp.float32)
+            grad = jnp.concatenate(
+                [acc[0], acc[1], acc[2], acc[3], acc[8], acc[4],
+                 acc[5], acc[6], acc[7], zero, zero, zero],
+                axis=1)                                  # (C, 12)
+            dpk_ref[...] = dpk_ref[...] + grad
+
+
+def _composite_bwd_call(packed, steps, t_plane, tck, dr, dg, db, dtc,
+                        nty, ntx, interpret):
+    ntiles = nty * ntx
+    st, sf, sb, sl, sh = steps
+    ns = st.shape[0]
+    rev = lambda a: a[::-1]
+    rt, rb, rl, rh = rev(st), rev(sb), rev(sl), rev(sh)
+    rsi = jnp.arange(ns - 1, -1, -1, dtype=jnp.int32)   # forward step id
+    rfirst = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (rt[1:] != rt[:-1]).astype(jnp.int32)])
+    newblk = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (rb[1:] != rb[:-1]).astype(jnp.int32)])
+    kernel = functools.partial(_composite_bwd_kernel, ntx=ntx,
+                               ntiles=ntiles)
+
+    def tile_map(si, rt_, rf_, rb_, rl_, rh_, nb_, ri_):
+        return (jnp.minimum(rt_[si], ntiles), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, _ROWS),
+                         lambda si, rt_, rf_, rb_, rl_, rh_, nb_, ri_:
+                         (rb_[si], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _PIX),
+                         lambda si, rt_, rf_, rb_, rl_, rh_, nb_, ri_:
+                         (ri_[si], 0, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, 1, _PIX), tile_map,
+                          memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((1, 1, _PIX), tile_map,
+                        memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((CHUNK, _ROWS),
+                         lambda si, rt_, rf_, rb_, rl_, rh_, nb_, ri_:
+                         (rb_[si], 0), memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((1, _PIX), jnp.float32)],
+    )
+    out_shape = jax.ShapeDtypeStruct(packed.shape, jnp.float32)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=[out_shape],
+        interpret=interpret,
+    )(rt, rfirst, rb, rl, rh, newblk, rsi,
+      packed, tck, t_plane, dr, dg, db, dtc)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def composite_diff(packed, steps, nty, ntx, interpret):
+    """Differentiable composite: forward = the production Pallas kernel,
+    backward = a reverse-sweep Pallas kernel (grads w.r.t. ``packed``).
+    Use with the compact LOD layout for bounded checkpoint memory."""
+    return tuple(_composite_call(packed, steps, nty, ntx, interpret))
+
+
+def _composite_diff_fwd(packed, steps, nty, ntx, interpret):
+    r, g, b, t, tck = _composite_call_ckpt(packed, steps, nty, ntx,
+                                           interpret)
+    return (r, g, b, t), (packed, steps, t, tck)
+
+
+def _composite_diff_bwd(nty, ntx, interpret, res, cts):
+    packed, steps, t_plane, tck = res
+    dr, dg, db, dtc = cts
+    d_packed = _composite_bwd_call(packed, steps, t_plane, tck,
+                                   dr, dg, db, dtc, nty, ntx, interpret)
+    zeros_like_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return d_packed, tuple(zeros_like_int(s) for s in steps)
+
+
+composite_diff.defvjp(_composite_diff_fwd, _composite_diff_bwd)
+
+
+def render_gaussians_diff(means, scales, quats, opacities, colors,
+                          view, proj, width: int, height: int,
+                          background=(0.0, 0.0, 0.0),
+                          max_splats_per_tile: int = 256,
+                          ky: int = KY,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Differentiable Pallas render — the 1M-splat training path.
+
+    Same pipeline as :func:`render_gaussians` (compact LOD layout
+    required: it bounds the backward checkpoint memory), but compositing
+    runs through :func:`composite_diff`, so gradients flow to every splat
+    parameter: projection/record math via JAX autodiff, the composite via
+    the custom Pallas VJP, and the pack gather via jnp.take's native
+    scatter-add VJP. Binning decisions (keys, step maps) are
+    stop-gradient, matching the original 3DGS.
+    """
+    ps = project_gaussians(means, scales, quats, opacities, colors,
+                           view, proj, width, height, ky=ky)
+    records = _make_records(ps)
+    sg = jax.lax.stop_gradient
+    ntx = _pad_to(width, TILE_W) // TILE_W
+    nty = _pad_to(height, TILE_H) // TILE_H
+    cap_pairs = _pad_to(means.shape[0] * KX * ky + ntx * nty * CHUNK,
+                        CHUNK)
+    pack_idx, steps, visited, _ = _bin_splats(
+        sg(ps.mean2d[:, 0]), sg(ps.mean2d[:, 1]), ps.radius,
+        jnp.isfinite(sg(ps.depth)), sg(ps.depth), ntx, nty, cap_pairs,
+        ky=ky, max_per_tile=max_splats_per_tile)
+    packed = jnp.take(records, pack_idx, axis=0)
+    r, g, b, t = composite_diff(packed, steps, nty, ntx, interpret)
+    img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
+    return img[:height, :width]
 
 
 def finalize_planes(r, g, b, t, visited, nty: int, ntx: int,

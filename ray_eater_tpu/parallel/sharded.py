@@ -123,6 +123,9 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         check_vma=False,
     )(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
       cloud.colors, sh)
+    # replicate before the crop: slicing a row-band-sharded image to the
+    # unpadded height is sharding-ambiguous when bands don't divide it
+    out = jax.device_put(out, jax.sharding.NamedSharding(mesh, P()))
     return out[:height, :width]
 
 

@@ -27,7 +27,10 @@ from ray_eater_tpu.io.image import save_png, to_srgb_u8
 from ray_eater_tpu.models.gaussians import random_cloud
 from ray_eater_tpu.models.gs_training import (make_train_step,
                                               make_train_step_dp,
-                                              params_from_cloud, render_diff)
+                                              make_train_step_pallas,
+                                              params_from_cloud,
+                                              render_diff,
+                                              render_diff_pallas)
 from ray_eater_tpu.parallel.sharded import make_device_mesh
 from ray_eater_tpu.utils.logging import scoped
 
@@ -43,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all local devices")
+    ap.add_argument("--path", choices=("pallas", "jnp"), default=None,
+                    help="differentiable renderer: the Pallas custom-VJP "
+                         "kernels (scales to 1M splats) or the pure-jnp "
+                         "reference. Default: pallas above 4096 splats")
     ap.add_argument("--out", default="/tmp/rayeater_train")
     args = ap.parse_args(argv)
     if args.steps < 1:
@@ -57,7 +64,11 @@ def main(argv=None):
 
     target_cloud = random_cloud(args.splats, seed=42, extent=0.6,
                                 scale_range=(0.04, 0.1))
-    target = render_diff(params_from_cloud(target_cloud), view, proj, W, H)
+    path = args.path or ("pallas" if args.splats > 4096 else "jnp")
+    render = (render_diff if path == "jnp"
+              else lambda p, v, pr, w, h: render_diff_pallas(
+                  p, v, pr, w, h, interpret=ctx.interpret))
+    target = render(params_from_cloud(target_cloud), view, proj, W, H)
 
     params = params_from_cloud(
         random_cloud(args.splats, seed=7, extent=0.6,
@@ -69,6 +80,9 @@ def main(argv=None):
         mesh = make_device_mesh()
         step = make_train_step_dp(opt, view, proj, mesh)
         log.info("dp training over %d devices", mesh.shape[mesh.axis_names[0]])
+    elif path == "pallas":
+        step = make_train_step_pallas(opt, view, proj,
+                                      interpret=ctx.interpret)
     else:
         step = make_train_step(opt, view, proj)
 
@@ -88,11 +102,11 @@ def main(argv=None):
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    final = render_diff(params, view, proj, W, H)
+    final = render(params, view, proj, W, H)
     save_png(os.path.join(args.out, "target.png"), to_srgb_u8(target))
     save_png(os.path.join(args.out, "fitted.png"), to_srgb_u8(final))
     steps_timed = max(args.steps - 1, 1)
-    print(f"gs_trainer[{'dp' if args.dp else 'single'}]: {args.steps} steps "
+    print(f"gs_trainer[{'dp' if args.dp else path}]: {args.steps} steps "
           f"{args.splats} splats {W}x{H} on {ctx.device.platform}, "
           f"{steps_timed / dt:.1f} steps/s (post-compile); "
           f"loss {loss0:.5f} -> {float(loss):.5f} "

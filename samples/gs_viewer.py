@@ -52,10 +52,10 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--static-camera", action="store_true",
                     help="config 4 (static scene) instead of flythrough")
-    ap.add_argument("--max-per-tile", type=int, default=384,
+    ap.add_argument("--max-per-tile", type=int, default=512,
                     help="per-tile LOD: keep the nearest N splats per "
-                         "16x128 tile (BASELINE config 5's 'LOD culling'; "
-                         "68 dB vs exact on the 1M bench scene — "
+                         "32x128 tile (BASELINE config 5's 'LOD culling'; "
+                         "67 dB vs exact on the 1M bench scene — "
                          "BENCHLOG). 0 = exact")
     ap.add_argument("--cap-factor", type=int, default=4,
                     help="pair buffer size in pairs/splat (0 = exact "

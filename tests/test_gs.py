@@ -177,9 +177,10 @@ def test_cap_stats_report_overflow():
     assert int(st0["overflow_pairs"]) == 0
     # a dense stack (every splat covers the center tiles) starves a
     # factor-1 cap: overflow must be reported and the image stay finite
-    dense = gaussian_cloud(np.zeros((n, 3), np.float32) * 0,
-                           np.full((n, 3), 0.2), [[1, 0, 0, 0]] * n,
-                           [0.3] * n, rng.rand(n, 3).astype(np.float32))
+    nd = 4000
+    dense = gaussian_cloud(np.zeros((nd, 3), np.float32),
+                           np.full((nd, 3), 0.2), [[1, 0, 0, 0]] * nd,
+                           [0.3] * nd, rng.rand(nd, 3).astype(np.float32))
     capped, st1 = render_gaussians(dense, view, proj, W, H,
                                    pairs_cap_factor=1, return_stats=True,
                                    interpret=True)
