@@ -13,10 +13,12 @@ unbuilt goal, README.md:7). TPU-first design:
    splat's circular footprint misses are culled at emission.
 3. **Direct chunk layout**: the kernel streams contiguous 128-pair blocks
    of the sorted array; scalar-prefetched per-step maps carry the owning
-   tile and its [lo, hi) pair range, and blocks straddling a tile
-   boundary run once per adjacent tile with complementary row masks. The
-   only data movement between sort and kernel is one row gather of the
-   (N, 12) record table into sorted-pair order.
+   tile and a block-local [lo, hi) row mask, and blocks straddling a tile
+   boundary run once per adjacent tile with complementary masks. With the
+   per-tile LOD cap (``max_splats_per_tile``), only the ≤ ntiles·(mpt/128
+   + 1) blocks the steps touch are packed, via one block-granular row
+   gather. The only other data movement between sort and kernel is one
+   row gather of the (N, 12) record table into pack order.
 4. **Composite** (Pallas): a 1-D grid over steps. Consecutive steps of one
    tile accumulate in a resident VMEM block (transmittance + RGB), written
    back once per tile. Per chunk: conic quadratic → alpha over the whole
@@ -212,16 +214,34 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
-    combined int32 ``tile << db | quantized_depth`` — a single stable sort
-    groups pairs into per-tile runs that are front-to-back within each run
-    (the classic 3DGS combined tile|depth radix key), replacing round 1's
+    combined int32 ``tile << db | quantized_depth`` — a single sort groups
+    pairs into per-tile runs that are front-to-back within each run (the
+    classic 3DGS combined tile|depth radix key), replacing round 1's
     two-pass global-depth-argsort + record-permute + tile-sort. Depth is
     quantized to the remaining 31 - ceil(log2(ntiles+2)) bits (≥ 19 even
-    at 8K resolution); ties fall back to splat-index order via stability.
+    at 8K resolution). Candidate keys enter the sort in CONCATENATED
+    stream order (K contiguous blocks), not interleaved — the unstable
+    sort doesn't care, and the block layout fuses into the sort input
+    without a strided transpose (~3 ms at 4M pairs, tools/exp_bin.py).
 
-    Returns (packed_idx (CAP,) int32 splat indices with -1 nulls,
-    chunk_tile (CAPC,) int32 with ntiles sentinel, chunk_first (CAPC,)
-    int32, visited (ntiles,) bool, overflow (scalar))."""
+    Two layouts share one step-map builder (owner via searchsorted over
+    the per-tile step-count prefix; [lo, hi) masks are BLOCK-LOCAL row
+    ranges):
+
+    * exact/direct (``max_per_tile=None``): kernel steps stream the
+      contiguous CHUNK-blocks of the sorted pair array itself; the pack
+      array IS the sorted order (one slice, no gather). ``cap_pairs``
+      drops tail pairs positionally on overflow.
+    * capped direct (``max_per_tile=m``): each tile keeps only its
+      nearest m pairs (``hi = startc + min(count, m)`` — depth-ordered
+      LOD, farthest splats dropped first) and the pack array gathers only
+      the ≤ ntiles·(m/CHUNK + 1) blocks the steps touch, at BLOCK
+      granularity — a 128-contiguous-int row gather, ~40x faster than the
+      former fixed-stride per-element gather (tools/exp_bin.py).
+
+    Returns (pack_idx (CAP,) int32 splat indices, steps — the
+    (tile, first, block, lo, hi) scalar-prefetch tuple, visited (ntiles,)
+    bool, overflow (scalar, in pairs))."""
     n = mx.shape[0]
     ntiles = ntx * nty
     r = rad.astype(jnp.float32)
@@ -268,11 +288,14 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
             ok &= ddx * ddx + ddy * ddy <= r2
             keys.append(jnp.where(ok, ((ty * ntx + tx) << db) | qd,
                                   sentinel))
-    key_flat = jnp.stack(keys, -1).reshape(-1)              # (N*K,)
+    # concatenated stream order (K contiguous blocks), NOT interleaved:
+    # the unstable sort doesn't care, and the block layout fuses into the
+    # sort input without a strided transpose (~3 ms at 4M pairs,
+    # tools/exp_bin.py)
+    key_flat = jnp.concatenate(keys)                        # (N*K,)
     m = key_flat.shape[0]
     k_fan = KX * ky
-    splat_of_pair = jnp.stack(
-        [jnp.arange(n, dtype=jnp.int32)] * k_fan, -1).reshape(-1)
+    splat_of_pair = jnp.tile(jnp.arange(n, dtype=jnp.int32), k_fan)
 
     # one sort by (tile, depth); the payload carries splat ids so the
     # pack gather below needs no permutation indirection. UNSTABLE is
@@ -281,6 +304,10 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     # composite in arbitrary but deterministic order.
     sorted_key, sorted_splat = jax.lax.sort(
         (key_flat, splat_of_pair), num_keys=1, is_stable=False)
+    mpad = _pad_to(m, CHUNK)
+    if mpad > m:
+        sorted_splat = jnp.concatenate(
+            [sorted_splat, jnp.zeros(mpad - m, jnp.int32)])
 
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_key, tvec << db,
@@ -288,92 +315,67 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     startc = start[:-1]
     count = start[1:] - startc                               # (ntiles,)
     if max_per_tile is not None:
-        # per-tile depth-ordered LOD drop (COMPACT fixed-stride layout):
-        # splats are front-to-back within each tile's run, so capping the
-        # count discards the FARTHEST splats of pathological tiles —
-        # never whole tiles. Every tile gets exactly pad(max_per_tile)
-        # pack slots at a fixed stride, so the pack array and the step
-        # grid shrink to ntiles * pad(max_per_tile) regardless of scene
-        # depth, and all step maps are pure arithmetic.
+        # per-tile depth-ordered LOD: keep each tile's NEAREST
+        # max_per_tile pairs (runs are front-to-back within each tile, so
+        # the cap discards the FARTHEST splats of pathological tiles —
+        # never whole tiles)
         kept = jnp.minimum(count, max_per_tile)
         overflow = jnp.sum(count - kept)
-        return _compact_layout(sorted_splat, startc, kept, ntiles,
-                               max_per_tile) + (kept > 0, overflow)
-    # the cap never needs to exceed the (padded) emission count
-    cap_pairs = min(cap_pairs, _pad_to(m, CHUNK))
-    total_pairs = start[ntiles]
-    overflow = jnp.maximum(total_pairs - cap_pairs, 0)        # in pairs
-    # global cap: pairs beyond cap_pairs are dropped positionally (the
-    # sorted array's tail = the highest tile ids). Detect via overflow /
-    # return_stats; per-tile LOD (max_per_tile) is the graceful knob.
-    count = jnp.clip(jnp.minimum(count, cap_pairs - startc), 0)
+        cap_steps = ntiles * (_pad_to(max_per_tile, CHUNK) // CHUNK + 1)
+        maxblk = mpad // CHUNK - 1
+    else:
+        # the cap never needs to exceed the (padded) emission count
+        cap_pairs = min(cap_pairs, mpad)
+        total_pairs = start[ntiles]
+        overflow = jnp.maximum(total_pairs - cap_pairs, 0)    # in pairs
+        # global cap: pairs beyond cap_pairs are dropped positionally (the
+        # sorted array's tail = the highest tile ids). Detect via
+        # overflow / return_stats; max_per_tile is the graceful knob.
+        kept = jnp.clip(jnp.minimum(count, cap_pairs - startc), 0)
+        cap_steps = cap_pairs // CHUNK + ntiles  # ≤1 boundary step/tile
+        maxblk = cap_pairs // CHUNK - 1
 
-    # DIRECT chunk layout: kernel step s processes the contiguous block
-    # [step_block*CHUNK, +CHUNK) of the sorted pair array, masked to the
-    # owning tile's [lo, hi) pair range — blocks straddling a tile
-    # boundary run once per adjacent tile with complementary masks. This
-    # removes the per-slot src/live arithmetic, the (CAP,) splat-id
-    # gather, and the per-tile alignment padding of the round-1 design.
-    end = startc + count
+    # DIRECT chunk layout: kernel step s processes one contiguous
+    # CHUNK-block of the sorted pair array, masked to the owning tile's
+    # BLOCK-LOCAL [lo, hi) row range — blocks straddling a tile boundary
+    # run once per adjacent tile with complementary masks.
+    end = startc + kept
     first_block = startc // CHUNK
-    nsteps = jnp.where(count > 0,
+    nsteps = jnp.where(kept > 0,
                        (end + CHUNK - 1) // CHUNK - first_block, 0)
     step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                 jnp.cumsum(nsteps).astype(jnp.int32)])
     total_steps = step_off[-1]
-    cap_steps = cap_pairs // CHUNK + ntiles   # ≤1 boundary step per tile
     sid = jnp.arange(cap_steps, dtype=jnp.int32)
     owner = jnp.clip(jnp.searchsorted(step_off, sid, side="right")
                      .astype(jnp.int32) - 1, 0, ntiles - 1)
     live_step = sid < total_steps
     step_tile = jnp.where(live_step, owner, ntiles)
     step_first = ((sid == step_off[owner]) & live_step).astype(jnp.int32)
-    maxblk = cap_pairs // CHUNK - 1
-    step_block = jnp.clip(first_block[owner] + (sid - step_off[owner]),
+    orig_block = jnp.clip(first_block[owner] + (sid - step_off[owner]),
                           0, maxblk)
-    step_lo = startc[owner]
-    step_hi = end[owner]
-    steps = (step_tile, step_first, step_block, step_lo, step_hi)
-    if m >= cap_pairs:
-        pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
+    blk_base = orig_block * CHUNK
+    step_lo = jnp.where(live_step,
+                        jnp.clip(startc[owner] - blk_base, 0, CHUNK), 0)
+    step_hi = jnp.where(live_step,
+                        jnp.clip(end[owner] - blk_base, 0, CHUNK), 0)
+
+    if max_per_tile is not None:
+        # pack only the blocks the steps touch, at BLOCK granularity: one
+        # (cap_steps, CHUNK) row gather of 128-contiguous-int rows — ~40x
+        # faster than the former fixed-stride per-element gather
+        # (tools/exp_bin.py). The pack array is then in STEP order: step
+        # s reads pack block s.
+        step_block = sid
+        pack_idx = jnp.take(sorted_splat.reshape(-1, CHUNK), orig_block,
+                            axis=0).reshape(-1)
     else:
-        pack_idx = jnp.concatenate(
-            [sorted_splat, jnp.zeros(cap_pairs - m, jnp.int32)])
-    visited = count > 0                                      # (ntiles,)
-    return pack_idx, steps, visited, overflow
-
-
-def _compact_layout(sorted_splat, startc, kept, ntiles: int,
-                    max_per_tile: int):
-    """Fixed-stride compact pack layout for the per-tile LOD mode.
-
-    Tile t owns pack rows [t*S, t*S + kept[t]) with S = pad(max_per_tile,
-    CHUNK); the step grid is exactly ntiles * S/CHUNK. The composite
-    kernel is unchanged: step_block indexes the compact pack array and
-    [lo, hi) are compact coordinates. Returns (pack_idx, steps)."""
-    stride = _pad_to(max_per_tile, CHUNK)
-    kpt = stride // CHUNK
-    nsteps = ntiles * kpt
-    sid = jnp.arange(nsteps, dtype=jnp.int32)
-    t_of = sid // kpt
-    local_chunk = sid % kpt
-    kept_t = kept[t_of]
-    alive = local_chunk * CHUNK < kept_t
-    step_tile = jnp.where(alive, t_of, ntiles)
-    step_first = (alive & (local_chunk == 0)).astype(jnp.int32)
-    step_block = sid
-    step_lo = t_of * stride
-    step_hi = step_lo + kept_t
+        # the pack array IS the sorted head: one slice, no gather
+        step_block = orig_block
+        pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
     steps = (step_tile, step_first, step_block, step_lo, step_hi)
-
-    pos = jnp.arange(ntiles * stride, dtype=jnp.int32)
-    t = pos // stride
-    local = pos % stride
-    src = jnp.minimum(startc[t] + local,
-                      sorted_splat.shape[0] - 1)
-    live = local < kept[t]
-    pack_idx = jnp.take(sorted_splat, jnp.where(live, src, 0))
-    return pack_idx, steps
+    visited = kept > 0                                       # (ntiles,)
+    return pack_idx, steps, visited, overflow
 
 
 def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
@@ -424,13 +426,12 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
         def _run():
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
                              tile, ntx,
-                             step_block_ref[si] * CHUNK,
                              step_lo_ref[si], step_hi_ref[si],
                              prefix_bf16)
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
-                     ntx, base, lo, hi, prefix_bf16=False):
+                     ntx, lo, hi, prefix_bf16=False):
     ty0 = (tile // ntx) * TILE_H
     tx0 = (tile % ntx) * TILE_W
     # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
@@ -447,9 +448,9 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
              - col(_CB) * dx * dy)
     alpha = col(_OP) * jnp.exp(power)
     alpha = jnp.minimum(alpha, _ALPHA_MAX)
-    # rows outside this tile's [lo, hi) sorted-pair range belong to a
+    # rows outside this tile's block-local [lo, hi) row range belong to a
     # neighboring tile (boundary block) or the sentinel tail — mask them
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     live = (rows >= lo) & (rows < hi)
     alpha = jnp.where(live & (alpha >= _ALPHA_MIN), alpha, 0.0)
 
@@ -556,7 +557,6 @@ def _composite_kernel_ckpt(step_tile_ref, step_first_ref, step_block_ref,
         def _run():
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
                              tile, ntx,
-                             step_block_ref[si] * CHUNK,
                              step_lo_ref[si], step_hi_ref[si])
 
 
@@ -623,12 +623,11 @@ def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
         # forward skipped this chunk iff its entry T was saturated
         @pl.when(jnp.max(t_entry) >= _T_EPS)
         def _run():
-            base = rb_ref[si] * CHUNK
             lo = rl_ref[si]
             hi = rh_ref[si]
             ty0 = (tile // ntx) * TILE_H
             tx0 = (tile % ntx) * TILE_W
-            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
             live = (rows >= lo) & (rows < hi)
             col = lambda c: rec_ref[:, c:c + 1]
             ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)

@@ -104,7 +104,7 @@ def test_pallas_backward_matches_jnp_autodiff():
                      - rec[:, 3:4] * dx * dy)
             araw = rec[:, 5:6] * jnp.exp(power)
             a = jnp.minimum(araw, 0.99)
-            rows = np.arange(128)[:, None] + base
+            rows = np.arange(128)[:, None]        # block-local [lo, hi)
             live = (rows >= int(sl[si])) & (rows < int(sh[si]))
             a = jnp.where(live & (araw >= 1 / 255), a, 0.0)
             lom = jnp.log(jnp.maximum(1 - a, 1e-6))

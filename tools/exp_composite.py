@@ -45,13 +45,16 @@ def main():
     ntiles = ntx * nty
     cap = 4 * 1_000_000 + ntiles * gs.CHUNK
 
+    MPT = int(os.environ.get("RAYEATER_EXP_MPT", 0)) or None
+
     @jax.jit
     def prep(ms, ss, qs, os_, cs):
         ps = gs.project_gaussians(ms, ss, qs, os_, cs, view, proj, W, H)
         recs = gs._make_records(ps)
         pidx, steps, vis, ov = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
-            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap)
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap,
+            max_per_tile=MPT)
         return gs._pack_records(recs, pidx), steps
 
     packed, steps = jax.block_until_ready(prep(
@@ -91,6 +94,32 @@ def main():
                 log_om = -alpha
             else:
                 log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))
+            if mode == "cumprod":
+                # matmul-free exclusive transmittance prefix: multiplicative
+                # doubling scan over the splat (sublane) axis via circular
+                # rolls — no log/exp at all
+                om = 1.0 - alpha                          # (C, P)
+                ridx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PIX), 0)
+                p = om
+                s = 1
+                while s < CHUNK:
+                    p = p * jnp.where(ridx >= s,
+                                      pltpu.roll(p, shift=s, axis=0), 1.0)
+                    s *= 2
+                pre = jnp.where(ridx >= 1, pltpu.roll(p, shift=1, axis=0),
+                                1.0)
+                t_in = t_ref[0]
+                w = alpha * pre * t_in
+                rgb = jax.lax.dot_general(
+                    rec_ref[:, _CR:_CB2 + 1], w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                r_ref[0] = r_ref[0] + rgb[0:1]
+                g_ref[0] = g_ref[0] + rgb[1:2]
+                b_ref[0] = b_ref[0] + rgb[2:3]
+                t_new = t_in * p[CHUNK - 1:CHUNK]
+                t_ref[0] = t_new
+                sat_ref[0] = (jnp.max(t_new) < 1e-4).astype(jnp.int32)
+                return
             if mode == "noprefix":
                 prefix = log_om * 0.5
             else:
@@ -179,7 +208,9 @@ def main():
             best = min(best, (time.perf_counter() - t0) / ITERS * 1000)
         print(f"composite[{mode:9s}] {best:7.2f} ms/iter", flush=True)
 
-    for mode in ["full", "noprefix", "notrans", "norgb", "bf16"]:
+    modes = os.environ.get("RAYEATER_EXP_MODES",
+                           "full,noprefix,notrans,norgb,bf16").split(",")
+    for mode in modes:
         run_variant(mode)
 
 

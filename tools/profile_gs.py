@@ -122,6 +122,57 @@ def main():
                                   interpret=ctx.interpret)
         return t + img[0, 0, 0] * 1e-12
 
+    # ---- bench-config stages (capf=4, mpt=512 compact LOD layout) --------
+    MPT = int(os.environ.get("RAYEATER_PROF_MPT", 512))
+    cap_b = min(cap_pairs, 4 * N + ntiles * gs.CHUNK)
+    cap_b = (cap_b + gs.CHUNK - 1) // gs.CHUNK * gs.CHUNK
+
+    def st_bin_m(t):
+        v = mk_view(t)
+        ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
+                                  cloud.opacities, cloud.colors, v, proj,
+                                  W, H)
+        recs = gs._make_records(ps)
+        pidx, steps, vis, ov = gs._bin_splats(
+            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
+            max_per_tile=MPT)
+        return t + pidx[0].astype(jnp.float32) * 1e-12 + recs[0, 0] * 1e-12
+
+    def st_pack_m(t):
+        v = mk_view(t)
+        ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
+                                  cloud.opacities, cloud.colors, v, proj,
+                                  W, H)
+        recs = gs._make_records(ps)
+        pidx, steps, vis, ov = gs._bin_splats(
+            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
+            max_per_tile=MPT)
+        packed = gs._pack_records(recs, pidx)
+        return t + packed[0, 0] * 1e-12
+
+    def st_full_m(t):
+        v = mk_view(t)
+        img = gs.render_gaussians(cloud, v, proj, W, H,
+                                  pairs_cap_factor=4, max_splats_per_tile=MPT,
+                                  interpret=ctx.interpret)
+        return t + img[0, 0, 0] * 1e-12
+
+    if os.environ.get("RAYEATER_PROF_BENCHCFG", "0") != "0":
+        t_proj = timeit("stage: project", loop(st_project), np.float32(0))
+        t_rec = timeit("stage: +records", loop(st_records), np.float32(0))
+        t_bin = timeit(f"stage: +bin[mpt={MPT}]", loop(st_bin_m),
+                       np.float32(0))
+        t_pack = timeit(f"stage: +pack[mpt={MPT}]", loop(st_pack_m),
+                        np.float32(0))
+        t_full = timeit(f"stage: full[capf=4 mpt={MPT}]", loop(st_full_m),
+                        np.float32(0))
+        print(f"deltas: project {t_proj:.1f}  rec {t_rec - t_proj:.1f}  "
+              f"bin {t_bin - t_rec:.1f}  pack {t_pack - t_bin:.1f}  "
+              f"composite+fin {t_full - t_pack:.1f}", flush=True)
+        return
+
     if os.environ.get("RAYEATER_PROF_STAGES", "1") != "0":
         t_proj = timeit("stage: project", loop(st_project), np.float32(0))
         t_rec = timeit("stage: +records+depth_sort", loop(st_records),
@@ -143,8 +194,8 @@ def main():
                               cap_pairs=cap_pairs))(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth)
-        live = int(np.asarray(steps[4] - steps[3])[
-            np.asarray(steps[1]) == 1].sum())
+        live = int((np.asarray(steps[4]) - np.asarray(steps[3])).clip(
+            0).sum())   # lo/hi are block-local row ranges
         chunks = int((np.asarray(steps[0]) < ntiles).sum())
         r = np.asarray(ps.radius)
         val = np.isfinite(np.asarray(ps.depth))
