@@ -22,9 +22,10 @@ unbuilt goal, README.md:7). TPU-first design:
 4. **Composite** (Pallas): a 1-D grid over steps. Consecutive steps of one
    tile accumulate in a resident VMEM block (transmittance + RGB), written
    back once per tile. Per chunk: conic quadratic → alpha over the whole
-   (16, 128)-pixel tile, exclusive transmittance prefix as one
-   strictly-lower-triangular MXU matmul, RGB accumulation as a second MXU
-   contraction, SMEM saturation early-out.
+   (32, 128)-pixel tile, exclusive transmittance prefix as a
+   multiplicative doubling scan over the splat axis (log2(C) shifted VPU
+   multiplies), RGB accumulation as one MXU contraction, SMEM saturation
+   early-out.
 
 Known limits (perf/LOD work tracked in BENCHLOG.md): radius is clamped so
 a splat spans at most KX×ky tiles (large near-camera splats truncate);
@@ -59,6 +60,12 @@ KX = 2           # max horizontal tile span per splat
 #: round 2). ky=3 raises the clamp to 31 px for scenes dominated by
 #: large near-camera splats.
 KY = 2
+#: coarse (level-2) fan for LARGE splats under two-level binning
+#: (``big_splat_cap``): a large splat may cover up to KX2 × KY2 tiles,
+#: raising the radius ceiling from level1_max_radius (15 px at ky=2) to
+#: level2_max_radius (111 px) for a budgeted subset of splats.
+KY2 = 8
+KX2 = 3
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
@@ -73,6 +80,16 @@ _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
 # and never enter the kernel table.
 _MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2 = range(9)
 _ROWS = 12
+
+
+def level1_max_radius(ky: int = KY) -> int:
+    """Largest radius whose [m-r, m+r] span fits in KX×ky tiles."""
+    return min((ky - 1) * TILE_H // 2 - 1, (KX - 1) * TILE_W // 2 - 1)
+
+
+def level2_max_radius() -> int:
+    """Radius ceiling of the coarse KX2×KY2 fan (two-level binning)."""
+    return min((KY2 - 1) * TILE_H // 2 - 1, (KX2 - 1) * TILE_W // 2 - 1)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -171,9 +188,10 @@ def project_gaussians(means, scales, quats, opacities, colors,
     lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
     if max_radius is None:
-        # span limit: a splat may cover at most KX×ky tiles
-        max_radius = min((ky - 1) * TILE_H // 2 - 1,
-                         (KX - 1) * TILE_W // 2 - 1)
+        # span limit: a splat may cover at most KX×ky tiles (raised to the
+        # coarse-level limit when two-level binning is on — see
+        # level1_max_radius / level2_max_radius)
+        max_radius = level1_max_radius(ky)
     radius = jnp.minimum(radius, float(max_radius))
 
     inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
@@ -208,9 +226,44 @@ def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
     return jnp.concatenate([cols, pad], -1)
 
 
+def _emit_fan(mx, my, r, valid, qd, kx_fan: int, ky_fan: int,
+              ntx: int, nty: int, db: int):
+    """Candidate (tile << db | qdepth) keys for a kx_fan×ky_fan tile fan.
+
+    Beyond the bbox test, a circle-vs-tile-rect test drops the corner
+    tiles of a splat's span that its circular footprint misses — fewer
+    real pairs means a smaller pack gather and fewer composite steps (the
+    sort size is static regardless). Returns a list of (N,) int32 key
+    streams; culled candidates hold the sentinel key."""
+    ntiles = ntx * nty
+    sentinel = ntiles << db
+    tx0 = jnp.floor((mx - r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
+    tx1 = jnp.floor((mx + r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
+    ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    r2 = r * r
+    keys = []
+    for dy in range(ky_fan):
+        for dx in range(kx_fan):
+            ty = ty0 + dy
+            tx = tx0 + dx
+            ok = valid & (ty <= ty1) & (tx <= tx1)
+            rx0 = (tx * TILE_W).astype(jnp.float32)
+            ry0 = (ty * TILE_H).astype(jnp.float32)
+            ddx = jnp.maximum(jnp.maximum(rx0 - mx, mx - (rx0 + TILE_W)),
+                              0.0)
+            ddy = jnp.maximum(jnp.maximum(ry0 - my, my - (ry0 + TILE_H)),
+                              0.0)
+            ok &= ddx * ddx + ddy * ddy <= r2
+            keys.append(jnp.where(ok, ((ty * ntx + tx) << db) | qd,
+                                  sentinel))
+    return keys
+
+
 def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
-                max_per_tile: int | None = None):
+                max_per_tile: int | None = None,
+                big_cap: int | None = None):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
@@ -239,9 +292,17 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
       granularity — a 128-contiguous-int row gather, ~40x faster than the
       former fixed-stride per-element gather (tools/exp_bin.py).
 
+    ``big_cap`` enables TWO-LEVEL binning: splats whose radius exceeds
+    the KX×ky span limit (callers must project with
+    ``max_radius=level2_max_radius()``) emit through a coarse KX2×KY2
+    fan instead of being radius-clamped; ``big_cap`` is the static budget
+    of such splats per frame (overflowing ones are dropped entirely and
+    counted).
+
     Returns (pack_idx (CAP,) int32 splat indices, steps — the
     (tile, first, block, lo, hi) scalar-prefetch tuple, visited (ntiles,)
-    bool, overflow (scalar, in pairs))."""
+    bool, overflow (scalar, in pairs), overflow_big (scalar: large splats
+    beyond big_cap))."""
     n = mx.shape[0]
     ntiles = ntx * nty
     r = rad.astype(jnp.float32)
@@ -261,41 +322,41 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     qd = jnp.clip(qd.astype(jnp.int32), 0, qmax)   # int-space re-clamp
     qd = jnp.where(valid, qd, 0)
 
-    tx0 = jnp.floor((mx - r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
-    tx1 = jnp.floor((mx + r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
-    ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
-    ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
-
-    # K candidate tiles per splat (static small fan-out). Beyond the bbox
-    # test, a circle-vs-tile-rect test drops the corner tiles of a
-    # splat's span that its circular footprint misses — fewer real pairs
-    # means a smaller pack gather and fewer composite steps (the sort
-    # size is static regardless).
-    sentinel = ntiles << db
-    r2 = r * r
-    keys = []
-    for dy in range(ky):
-        for dx in range(KX):
-            ty = ty0 + dy
-            tx = tx0 + dx
-            ok = valid & (ty <= ty1) & (tx <= tx1)
-            rx0 = (tx * TILE_W).astype(jnp.float32)
-            ry0 = (ty * TILE_H).astype(jnp.float32)
-            ddx = jnp.maximum(jnp.maximum(rx0 - mx, mx - (rx0 + TILE_W)),
-                              0.0)
-            ddy = jnp.maximum(jnp.maximum(ry0 - my, my - (ry0 + TILE_H)),
-                              0.0)
-            ok &= ddx * ddx + ddy * ddy <= r2
-            keys.append(jnp.where(ok, ((ty * ntx + tx) << db) | qd,
-                                  sentinel))
-    # concatenated stream order (K contiguous blocks), NOT interleaved:
+    # level-1 fan: splats within the KX×ky span limit (all splats when
+    # two-level binning is off — projection already clamped their radii)
+    r1 = float(level1_max_radius(ky))
+    small = valid if big_cap is None else valid & (r <= r1)
+    keys = _emit_fan(mx, my, r, small, qd, KX, ky, ntx, nty, db)
+    ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+    if big_cap is not None:
+        # level-2 (coarse) fan: the budgeted LARGE-splat subset. Their
+        # indices compact via cumsum + searchsorted (scatter-free), their
+        # binning columns ride one small row gather, and their KX2×KY2
+        # candidate keys join the same single sort.
+        big = valid & (r > r1)
+        csum = jnp.cumsum(big.astype(jnp.int32))
+        nbig = csum[-1]
+        overflow_big = jnp.maximum(nbig - big_cap, 0)
+        slot = jnp.arange(big_cap, dtype=jnp.int32)
+        bidx = jnp.clip(jnp.searchsorted(csum, slot + 1, side="left"),
+                        0, n - 1).astype(jnp.int32)
+        side = jnp.stack([mx, my, r, qd.astype(jnp.float32)], -1)
+        bs = jnp.take(side, bidx, axis=0)               # (big_cap, 4)
+        bvalid = slot < nbig
+        bkeys = _emit_fan(bs[:, 0], bs[:, 1], bs[:, 2], bvalid,
+                          bs[:, 3].astype(jnp.int32), KX2, KY2,
+                          ntx, nty, db)
+        keys += bkeys
+        ids.append(jnp.tile(bidx, len(bkeys)))
+    else:
+        overflow_big = jnp.zeros((), jnp.int32)
+    # concatenated stream order (contiguous blocks), NOT interleaved:
     # the unstable sort doesn't care, and the block layout fuses into the
     # sort input without a strided transpose (~3 ms at 4M pairs,
     # tools/exp_bin.py)
-    key_flat = jnp.concatenate(keys)                        # (N*K,)
+    key_flat = jnp.concatenate(keys)                        # (M,)
     m = key_flat.shape[0]
-    k_fan = KX * ky
-    splat_of_pair = jnp.tile(jnp.arange(n, dtype=jnp.int32), k_fan)
+    splat_of_pair = jnp.concatenate(ids)
 
     # one sort by (tile, depth); the payload carries splat ids so the
     # pack gather below needs no permutation indirection. UNSTABLE is
@@ -375,7 +436,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
     steps = (step_tile, step_first, step_block, step_lo, step_hi)
     visited = kept > 0                                       # (ntiles,)
-    return pack_idx, steps, visited, overflow
+    return pack_idx, steps, visited, overflow, overflow_big
 
 
 def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
@@ -391,7 +452,7 @@ _PIX = TILE_H * TILE_W          # pixels per tile, flattened
 def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
                       step_lo_ref, step_hi_ref, rec_ref,
                       r_ref, g_ref, b_ref, t_ref, sat_ref, *,
-                      ntx, ntiles, prefix_bf16=False):
+                      ntx, ntiles):
     """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
     pixel block — no per-splat scalar loop.
 
@@ -426,12 +487,11 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
         def _run():
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
                              tile, ntx,
-                             step_lo_ref[si], step_hi_ref[si],
-                             prefix_bf16)
+                             step_lo_ref[si], step_hi_ref[si])
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
-                     ntx, lo, hi, prefix_bf16=False):
+                     ntx, lo, hi):
     ty0 = (tile // ntx) * TILE_H
     tx0 = (tile % ntx) * TILE_W
     # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
@@ -454,21 +514,21 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     live = (rows >= lo) & (rows < hi)
     alpha = jnp.where(live & (alpha >= _ALPHA_MIN), alpha, 0.0)
 
-    log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-6))     # (C, P)
-    # strictly-lower-triangular ones → exclusive prefix over splats.
-    # prefix_bf16 requests a bf16 within-chunk prefix (cross-chunk T
-    # below keeps an exact f32 sum) — NOTE: this Mosaic version silently
-    # promotes the bf16 dot to f32 (measured identical output and timing,
-    # BENCHLOG round 2), so the flag is currently a no-op on TPU.
-    mm_dtype = jnp.bfloat16 if prefix_bf16 else jnp.float32
-    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    ltri = (ri > cj).astype(mm_dtype)
-    prefix = jax.lax.dot_general(
-        ltri, log_om.astype(mm_dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (C, P)
+    # exclusive transmittance prefix over the splat (sublane) axis as a
+    # MULTIPLICATIVE DOUBLING SCAN of (1-α): log2(C) shifted multiplies on
+    # the VPU — no transcendentals, no MXU pass. ~20% faster per chunk
+    # than the exp(Ltri @ log(1-α)) formulation (tools/exp_composite.py)
+    # and more accurate (no log clamp).
+    om = 1.0 - alpha                                     # (C, P)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _PIX), 0)
+    p = om
+    s = 1
+    while s < CHUNK:
+        p = p * jnp.where(ridx >= s, pltpu.roll(p, shift=s, axis=0), 1.0)
+        s *= 2
+    pre = jnp.where(ridx >= 1, pltpu.roll(p, shift=1, axis=0), 1.0)
     t_in = t_ref[0]                                      # (1, P)
-    w = alpha * jnp.exp(prefix) * t_in                   # (C, P)
+    w = alpha * pre * t_in                               # (C, P)
 
     # rgb accumulation: contract the splat axis on the MXU
     rgb = jax.lax.dot_general(
@@ -477,13 +537,12 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     r_ref[0] = r_ref[0] + rgb[0:1]
     g_ref[0] = g_ref[0] + rgb[1:2]
     b_ref[0] = b_ref[0] + rgb[2:3]
-    t_new = t_in * jnp.exp(jnp.sum(log_om, axis=0, keepdims=True))
+    t_new = t_in * p[CHUNK - 1:CHUNK]                    # full-chunk prod
     t_ref[0] = t_new
     sat_ref[0] = (jnp.max(t_new) < _T_EPS).astype(jnp.int32)
 
 
-def _composite_call(records, steps, nty, ntx, interpret,
-                    prefix_bf16=False):
+def _composite_call(records, steps, nty, ntx, interpret):
     """Returns 4 tile-flattened planes (ntiles+1, 2048): r, g, b, T.
     Row ``ntiles`` is the sentinel dump for unused steps; use
     :func:`_untile` to get image-shaped planes. ``steps`` is the
@@ -491,8 +550,7 @@ def _composite_call(records, steps, nty, ntx, interpret,
     ntiles = nty * ntx
     step_tile, step_first, step_block, step_lo, step_hi = steps
     nsteps = step_tile.shape[0]
-    kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles,
-                               prefix_bf16=prefix_bf16)
+    kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles)
 
     def out_map(si, st, sf, sb, sl, sh):
         return (jnp.minimum(st[si], ntiles), 0, 0)  # sentinel → extra row
@@ -805,7 +863,7 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
     nty = _pad_to(height, TILE_H) // TILE_H
     cap_pairs = _pad_to(means.shape[0] * KX * ky + ntx * nty * CHUNK,
                         CHUNK)
-    pack_idx, steps, visited, _ = _bin_splats(
+    pack_idx, steps, visited, _, _ = _bin_splats(
         sg(ps.mean2d[:, 0]), sg(ps.mean2d[:, 1]), ps.radius,
         jnp.isfinite(sg(ps.depth)), sg(ps.depth), ntx, nty, cap_pairs,
         ky=ky, max_per_tile=max_splats_per_tile)
@@ -843,8 +901,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      cam_pos=None,
                      ky: int = KY,
                      max_splats_per_tile: int | None = None,
+                     big_splat_cap: int | None = None,
                      return_stats: bool = False,
-                     prefix_bf16: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
@@ -867,10 +925,19 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     also degrades gracefully: every tile's chunk budget is scaled
     proportionally (dropping farthest chunks per tile), never whole tiles.
 
+    ``big_splat_cap`` enables TWO-LEVEL binning: splats larger than the
+    KX×ky span limit (15 px radius at the defaults) render through a
+    coarse KX2×KY2 tile fan — raising the radius ceiling to
+    ``level2_max_radius()`` (111 px) — instead of being radius-clamped.
+    The value is the static per-frame budget of such large splats
+    (overflowing ones are dropped entirely and reported via
+    ``overflow_big_splats``); N//16 is a good default for INRIA-style
+    scenes where large splats are a near-camera tail.
+
     ``return_stats=True`` additionally returns a dict with
-    ``overflow_chunks`` (device scalar: how many 128-splat chunks the cap
-    dropped this frame — 0 means the render was exact) so cap overflows
-    are detectable at runtime instead of silently degrading (the 16.7 dB
+    ``overflow_pairs`` (device scalar: LOD-dropped pairs — 0 means the
+    render was exact) and ``overflow_big_splats`` so cap overflows are
+    detectable at runtime instead of silently degrading (the 16.7 dB
     incident, BENCHLOG.md).
     """
     colors = cloud.colors
@@ -878,10 +945,13 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         from ..models.gaussians import eval_sh_colors
         with jax.named_scope("gs.sh_colors"):
             colors = eval_sh_colors(cloud, cam_pos)
+    max_radius = (float(level2_max_radius())
+                  if big_splat_cap is not None else None)
     with jax.named_scope("gs.project"):
         ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
                                cloud.opacities, colors, view, proj,
-                               width, height, ky=ky)
+                               width, height, ky=ky,
+                               max_radius=max_radius)
     with jax.named_scope("gs.records"):
         records = _make_records(ps)            # original splat order
 
@@ -890,6 +960,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     n = cloud.num_splats
     ntiles = ntx * nty
     exact_cap = n * KX * ky + ntiles * CHUNK
+    if big_splat_cap is not None:
+        exact_cap += big_splat_cap * KX2 * KY2
     if pairs_cap_factor is None:
         cap_pairs = exact_cap
     else:
@@ -900,18 +972,18 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = _pad_to(cap_pairs, CHUNK)
     with jax.named_scope("gs.bin"):
-        pack_idx, steps, visited, overflow = _bin_splats(
+        pack_idx, steps, visited, overflow, overflow_big = _bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, ky=ky,
-            max_per_tile=max_splats_per_tile)
+            max_per_tile=max_splats_per_tile, big_cap=big_splat_cap)
     with jax.named_scope("gs.pack"):
         packed = _pack_records(records, pack_idx)
 
     with jax.named_scope("gs.composite"):
-        r, g, b, t = _composite_call(packed, steps, nty, ntx, interpret,
-                                     prefix_bf16=prefix_bf16)
+        r, g, b, t = _composite_call(packed, steps, nty, ntx, interpret)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
     img = img[:height, :width]
     if return_stats:
-        return img, {"overflow_pairs": overflow}
+        return img, {"overflow_pairs": overflow,
+                     "overflow_big_splats": overflow_big}
     return img

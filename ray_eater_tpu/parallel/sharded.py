@@ -40,11 +40,13 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              mesh: Mesh, background=(0.0, 0.0, 0.0),
                              cam_pos=None, ky: int | None = None,
                              max_splats_per_tile: int | None = None,
+                             big_splat_cap: int | None = None,
                              interpret: bool = False) -> jnp.ndarray:
     """Sharded GaussianCloud render → (height, width, 3) on the mesh.
     Feature parity with :func:`ray_eater_tpu.ops.gs.render_gaussians`:
     ``cam_pos`` enables view-dependent SH colors, ``ky`` the span/radius
-    knob, ``max_splats_per_tile`` the per-tile LOD cap.
+    knob, ``max_splats_per_tile`` the per-tile LOD cap, ``big_splat_cap``
+    the two-level large-splat budget (see ops.gs.render_gaussians).
 
     Splats must be divisible by mesh size (pad the cloud if needed); the
     framebuffer row-band split requires padded height divisible by
@@ -66,7 +68,11 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     # (max_splats_per_tile sizes its own compact pack layout inside
     # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = n * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
+    if big_splat_cap is not None:
+        cap_pairs += big_splat_cap * gs_ops.KX2 * gs_ops.KY2
     cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK)
+    max_radius = (float(gs_ops.level2_max_radius())
+                  if big_splat_cap is not None else None)
 
     def local_render(means, scales, quats, opac, colors, sh_rest):
         # --- splat-parallel projection + gather (one ICI all_gather of the
@@ -79,7 +85,8 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                               sh_rest=sh_rest), cam_pos)
         ps_local = gs_ops.project_gaussians(means, scales, quats, opac,
                                             colors, view, proj,
-                                            width, height, ky=ky)
+                                            width, height, ky=ky,
+                                            max_radius=max_radius)
         rec_local = gs_ops._make_records(ps_local)          # (n/d, 12)
         # binning columns (radius/depth/valid) ride the same all_gather
         # as the kernel record table: one (n/d, 16) ICI collective
@@ -101,12 +108,13 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         in_band = (my + rad > y0) & (my - rad < y0 + band_px)
         records = records.at[:, gs_ops._MY].add(-y0)
 
-        pack_idx, steps, visited, _ = \
+        pack_idx, steps, visited, _, _ = \
             gs_ops._bin_splats(records[:, gs_ops._MX],
                                records[:, gs_ops._MY], rad,
                                valid & in_band, depth,
                                ntx, nty_local, cap_pairs, ky=ky,
-                               max_per_tile=max_splats_per_tile)
+                               max_per_tile=max_splats_per_tile,
+                               big_cap=big_splat_cap)
         packed = gs_ops._pack_records(records, pack_idx)
         r_, g_, b_, t_ = gs_ops._composite_call(
             packed, steps, nty_local, ntx, interpret)

@@ -60,9 +60,12 @@ def test_behind_camera_culled():
     assert not np.isfinite(float(ps.depth[0]))
 
 
-def reference_composite(ps: ProjectedSplats, width, height, bg):
+def reference_composite(ps: ProjectedSplats, width, height, bg,
+                        two_level=False):
     """Float64 per-pixel compositor with the kernel's tile-footprint rule:
-    a splat contributes exactly to the pixels of the tiles it bins into."""
+    a splat contributes exactly to the pixels of the tiles it bins into.
+    ``two_level=True`` mirrors the big_splat_cap path: splats larger than
+    the level-1 radius limit get the coarse KX2×KY2 span cap."""
     order = np.argsort(np.asarray(ps.depth), kind="stable")
     ys, xs = np.mgrid[0:height, 0:width]
     px, py = xs + 0.5, ys + 0.5
@@ -70,6 +73,7 @@ def reference_composite(ps: ProjectedSplats, width, height, bg):
     T = np.ones((height, width))
     ntx = -(-width // gs.TILE_W)
     nty = -(-height // gs.TILE_H)
+    r1 = gs.level1_max_radius()
     for i in order:
         if not np.isfinite(float(ps.depth[i])):
             continue
@@ -79,8 +83,10 @@ def reference_composite(ps: ProjectedSplats, width, height, bg):
         tx1 = int(np.clip(np.floor((mx + r) / gs.TILE_W), 0, ntx - 1))
         ty0 = int(np.clip(np.floor((my - r) / gs.TILE_H), 0, nty - 1))
         ty1 = int(np.clip(np.floor((my + r) / gs.TILE_H), 0, nty - 1))
-        tx1 = min(tx1, tx0 + gs.KX - 1)   # span cap, like the kernel
-        ty1 = min(ty1, ty0 + gs.KY - 1)
+        kx, ky = ((gs.KX2, gs.KY2) if two_level and r > r1
+                  else (gs.KX, gs.KY))
+        tx1 = min(tx1, tx0 + kx - 1)      # span cap, like the kernel
+        ty1 = min(ty1, ty0 + ky - 1)
         box = ((px >= tx0 * gs.TILE_W) & (px < (tx1 + 1) * gs.TILE_W)
                & (py >= ty0 * gs.TILE_H) & (py < (ty1 + 1) * gs.TILE_H))
         dx, dy = px - mx, py - my
@@ -148,7 +154,7 @@ def test_pairs_cap_overflow_is_graceful():
     records = gs._make_records(ps)
     ntx, nty = 2, 6
     cap = 2 * gs.CHUNK
-    pack_idx, steps, visited, overflow = gs._bin_splats(
+    pack_idx, steps, visited, overflow, _ = gs._bin_splats(
         ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
         jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap)
     assert int(overflow) > 0
@@ -238,6 +244,53 @@ def test_max_splats_per_tile_lod():
     assert np.abs(c_full - c_cap).max() < 0.1, (c_full, c_cap)
     # and the capped image is not identical (far splats were dropped)
     assert not np.allclose(full, capped)
+
+
+def test_big_splat_two_level_matches_reference():
+    # splats larger than the level-1 radius clamp (15 px) render through
+    # the coarse KX2xKY2 fan instead of being truncated: the two-level
+    # render must match the float64 oracle with the RAISED radius ceiling
+    view, proj = camera()
+    rng = np.random.RandomState(3)
+    n = 40
+    means = (rng.rand(n, 3).astype(np.float32) - 0.5) * 1.2
+    scales = np.full((n, 3), 0.02, np.float32)
+    scales[:12] = 0.30          # big near-camera splats: radius 15..111 px
+    cloud = gaussian_cloud(means, scales, [[1, 0, 0, 0]] * n,
+                           [0.6] * n, rng.rand(n, 3).astype(np.float32))
+    bg = (0.05, 0.05, 0.1)
+    got = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
+                                      big_splat_cap=16, interpret=True))
+    ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
+                           cloud.opacities, cloud.colors, view, proj, W, H,
+                           max_radius=gs.level2_max_radius())
+    r = np.asarray(ps.radius)[np.isfinite(np.asarray(ps.depth))]
+    assert (r > gs.level1_max_radius()).sum() > 0, "scene has no big splat"
+    want = reference_composite(ps, W, H, bg, two_level=True)
+    err = np.abs(got - want)
+    assert err.max() < 2e-3, f"max err {err.max()}"
+    # and the clamped single-level render is measurably different
+    clamped = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
+                                          interpret=True))
+    assert np.abs(clamped - want).max() > 0.02
+
+
+def test_big_splat_cap_overflow_reported():
+    view, proj = camera()
+    n = 24
+    means = np.zeros((n, 3), np.float32)
+    means[:, 0] = np.linspace(-0.6, 0.6, n)
+    cloud = gaussian_cloud(means, np.full((n, 3), 0.3), [[1, 0, 0, 0]] * n,
+                           [0.5] * n, np.ones((n, 3), np.float32) * 0.5)
+    img, stats = render_gaussians(cloud, view, proj, W, H,
+                                  big_splat_cap=4, return_stats=True,
+                                  interpret=True)
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(stats["overflow_big_splats"]) > 0
+    img2, stats2 = render_gaussians(cloud, view, proj, W, H,
+                                    big_splat_cap=64, return_stats=True,
+                                    interpret=True)
+    assert int(stats2["overflow_big_splats"]) == 0
 
 
 def test_ply_roundtrip(tmp_path):
