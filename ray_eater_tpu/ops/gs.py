@@ -124,48 +124,88 @@ def project_gaussians(means, scales, quats, opacities, colors,
     (``rmath.look_at_zforward`` + ``rmath.perspective``: view depth = +z =
     distance in front, y-down NDC). Do NOT pass ``rmath.look_at`` here — it
     is the reference's mirrored matrix kept for raster parity and inverts
-    depth ordering (see rmath.look_at_zforward)."""
-    # Fully scalar-expanded covariance math: (N,) vector ops only. The
-    # (N,3,3)-batched einsum formulation compiles pathologically on TPU
-    # (XLA unrolls the tiny contractions; ~5 min compile at 1M splats) and
-    # runs on lane-starved shapes; the expansion compiles in seconds and is
-    # pure VPU.
-    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
-    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    sx, sy, sz = scales[:, 0], scales[:, 1], scales[:, 2]
+    depth ordering (see rmath.look_at_zforward).
+
+    This is the autodiff-friendly jnp path (training differentiates
+    through it); :func:`_project_fast` runs the SAME math
+    (:func:`_project_math`) as one fused Pallas kernel for the render
+    path."""
+    if max_radius is None:
+        max_radius = level1_max_radius(ky)
+    scal = _project_scalars(view, proj, width, height, near,
+                            float(max_radius))
+    mx, my, ca, cb, cc, depth, radius, _ = _project_math(
+        means[:, 0], means[:, 1], means[:, 2],
+        scales[:, 0], scales[:, 1], scales[:, 2],
+        quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
+        opacities, scal)
+    return ProjectedSplats(
+        mean2d=jnp.stack([mx, my], -1),
+        conic=jnp.stack([ca, cb, cc], -1), depth=depth,
+        radius=radius.astype(jnp.int32), color=colors, opacity=opacities)
+
+
+def _project_scalars(view, proj, width, height, near, max_radius):
+    """(24,) f32 scalar packet consumed by _project_math: 12 view scalars
+    (row-major R, then t), then fx, fy, proj00, proj11, W, H, near,
+    max_radius (+ padding)."""
+    Rv, tv = view[:3, :3], view[:3, 3]
+    fx = proj[0, 0] * width * 0.5
+    fy = proj[1, 1] * height * 0.5
+    return jnp.concatenate([
+        Rv.reshape(-1), tv.reshape(-1),
+        jnp.stack([fx, fy, proj[0, 0], proj[1, 1],
+                   jnp.float32(width), jnp.float32(height),
+                   jnp.float32(near), jnp.float32(max_radius)]),
+        jnp.zeros((4,), jnp.float32)]).astype(jnp.float32)
+
+
+def _project_math(px_, py_, pz_, sx, sy, sz, qw, qx, qy, qz, op, scal):
+    """Elementwise EWA projection core — shape-polymorphic (works on (N,)
+    columns in the jnp path and on (8, 128) VMEM blocks in the Pallas
+    kernel; ``scal`` indexes the _project_scalars packet).
+
+    Fully scalar-expanded covariance math: elementwise ops only. The
+    (N,3,3)-batched einsum formulation compiles pathologically on TPU
+    (XLA unrolls the tiny contractions; ~5 min compile at 1M splats) and
+    runs on lane-starved shapes; the expansion is pure VPU.
+
+    Returns (mx, my, conic_a, conic_b, conic_c, depth(+inf culled),
+    radius_f32, opacity_eff)."""
+    v = scal if callable(scal) else (lambda k: scal[k])
+    r_v = [[v(0), v(1), v(2)], [v(3), v(4), v(5)], [v(6), v(7), v(8)]]
+    tv = (v(9), v(10), v(11))
+    fx, fy, p00, p11 = v(12), v(13), v(14), v(15)
+    width, height, near, max_radius = v(16), v(17), v(18), v(19)
+
+    inv_n = jax.lax.rsqrt(
+        jnp.maximum(qw * qw + qx * qx + qy * qy + qz * qz, 1e-24))
+    w, x, y, z = qw * inv_n, qx * inv_n, qy * inv_n, qz * inv_n
     # rotation columns scaled: M[i][j] = R[i][j] * s[j]
-    r00 = 1 - 2 * (y * y + z * z)
-    r01 = 2 * (x * y - w * z)
-    r02 = 2 * (x * z + w * y)
-    r10 = 2 * (x * y + w * z)
-    r11 = 1 - 2 * (x * x + z * z)
-    r12 = 2 * (y * z - w * x)
-    r20 = 2 * (x * z - w * y)
-    r21 = 2 * (y * z + w * x)
-    r22 = 1 - 2 * (x * x + y * y)
-    m = [[r00 * sx, r01 * sy, r02 * sz],
-         [r10 * sx, r11 * sy, r12 * sz],
-         [r20 * sx, r21 * sy, r22 * sz]]
+    m = [[(1 - 2 * (y * y + z * z)) * sx, 2 * (x * y - w * z) * sy,
+          2 * (x * z + w * y) * sz],
+         [2 * (x * y + w * z) * sx, (1 - 2 * (x * x + z * z)) * sy,
+          2 * (y * z - w * x) * sz],
+         [2 * (x * z - w * y) * sx, 2 * (y * z + w * x) * sy,
+          (1 - 2 * (x * x + y * y)) * sz]]
 
     # view transform
-    Rv, tv = view[:3, :3], view[:3, 3]
-    pv = means @ Rv.T + tv                                      # (N,3)
-    zv = pv[:, 2]
+    pvx = r_v[0][0] * px_ + r_v[0][1] * py_ + r_v[0][2] * pz_ + tv[0]
+    pvy = r_v[1][0] * px_ + r_v[1][1] * py_ + r_v[1][2] * pz_ + tv[1]
+    zv = r_v[2][0] * px_ + r_v[2][1] * py_ + r_v[2][2] * pz_ + tv[2]
     # B = Rv @ M  (rows 0..2); cov_view = B Bᵀ
-    b = [[sum(Rv[i, k] * m[k][j] for k in range(3)) for j in range(3)]
+    b = [[sum(r_v[i][k] * m[k][j] for k in range(3)) for j in range(3)]
          for i in range(3)]
 
     # perspective Jacobian of the screen mapping:
     #   x_s = (proj00 * x/z + 1) * W/2,  y_s = (proj11 * y/z + 1) * H/2
-    fx = proj[0, 0] * width * 0.5
-    fy = proj[1, 1] * height * 0.5
-    z_safe = jnp.where(zv > near, zv, near)
+    z_safe = jnp.maximum(zv, near)
     inv_z = 1.0 / z_safe
     # clamp the frustum-tangent like 3DGS to bound the Jacobian
     lim_x = 1.3 * (width * 0.5) / jnp.abs(fx)
     lim_y = 1.3 * (height * 0.5) / jnp.abs(fy)
-    txz = jnp.clip(pv[:, 0] * inv_z, -lim_x, lim_x)
-    tyz = jnp.clip(pv[:, 1] * inv_z, -lim_y, lim_y)
+    txz = jnp.clip(pvx * inv_z, -lim_x, lim_x)
+    tyz = jnp.clip(pvy * inv_z, -lim_y, lim_y)
 
     j00 = fx * inv_z
     j02 = -fx * txz * inv_z
@@ -180,33 +220,90 @@ def project_gaussians(means, scales, quats, opacities, colors,
     c12 = b[1][0] * b[2][0] + b[1][1] * b[2][1] + b[1][2] * b[2][2]
     c22 = b[2][0] ** 2 + b[2][1] ** 2 + b[2][2] ** 2
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + 0.3
-    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    bb = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + 0.3
 
-    det = a * c - b * b
+    det = a * c - bb * bb
     mid = 0.5 * (a + c)
     lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
-    if max_radius is None:
-        # span limit: a splat may cover at most KX×ky tiles (raised to the
-        # coarse-level limit when two-level binning is on — see
-        # level1_max_radius / level2_max_radius)
-        max_radius = level1_max_radius(ky)
-    radius = jnp.minimum(radius, float(max_radius))
+    radius = jnp.minimum(radius, max_radius)
 
     inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
-    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], -1)
 
-    mx = (pv[:, 0] * inv_z * proj[0, 0] + 1.0) * 0.5 * width
-    my = (pv[:, 1] * inv_z * proj[1, 1] + 1.0) * 0.5 * height
+    mx = (pvx * inv_z * p00 + 1.0) * 0.5 * width
+    my = (pvy * inv_z * p11 + 1.0) * 0.5 * height
 
     valid = ((zv > near) & (det > 1e-12) & (radius >= 1.0)
              & (mx + radius > 0) & (mx - radius < width)
              & (my + radius > 0) & (my - radius < height)
-             & (opacities > _ALPHA_MIN))
+             & (op > _ALPHA_MIN))
     depth = jnp.where(valid, zv, jnp.inf)
+    return (mx, my, c * inv_det, -bb * inv_det, a * inv_det, depth,
+            radius, jnp.where(valid, op, 0.0))
+
+
+def _project_kernel(scal_ref, px_ref, py_ref, pz_ref, sx_ref, sy_ref,
+                    sz_ref, qw_ref, qx_ref, qy_ref, qz_ref, op_ref,
+                    mx_ref, my_ref, ca_ref, cb_ref, cc_ref, d_ref, r_ref,
+                    ov_ref):
+    outs = _project_math(
+        px_ref[:], py_ref[:], pz_ref[:],
+        sx_ref[:], sy_ref[:], sz_ref[:],
+        qw_ref[:], qx_ref[:], qy_ref[:], qz_ref[:], op_ref[:],
+        lambda k: scal_ref[0, k])
+    for ref, val in zip((mx_ref, my_ref, ca_ref, cb_ref, cc_ref, d_ref,
+                         r_ref, ov_ref), outs):
+        ref[:] = val
+
+
+def _project_fast(means, scales, quats, opacities, colors, view, proj,
+                  width: int, height: int, near: float = 0.05,
+                  max_radius: float | None = None, ky: int = KY,
+                  interpret: bool = False) -> ProjectedSplats:
+    """Pallas projection: the whole EWA math as ONE fused elementwise
+    kernel over (8, 128) splat blocks — a single HBM sweep (~90 MB at 1M
+    splats). Perf-NEUTRAL vs the jnp path on the flagship bench (XLA
+    already fuses the chain well; 17.93 vs 17.94 ms full-pipeline A/B,
+    BENCHLOG) — kept because it guarantees single-sweep fusion regardless
+    of XLA heuristics. Forward-only: training differentiates the jnp
+    :func:`project_gaussians` (same :func:`_project_math` body)."""
+    if max_radius is None:
+        max_radius = level1_max_radius(ky)
+    n = means.shape[0]
+    npad = _pad_to(max(n, 1024), 1024)
+    rows = npad // 128
+
+    def plane(col):
+        if npad > n:
+            col = jnp.concatenate(
+                [col, jnp.zeros((npad - n,), col.dtype)])
+        return col.reshape(rows, 128)
+
+    planes = [plane(c) for c in
+              (means[:, 0], means[:, 1], means[:, 2],
+               scales[:, 0], scales[:, 1], scales[:, 2],
+               quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
+               opacities)]
+    scal = _project_scalars(view, proj, width, height, near,
+                            float(max_radius)).reshape(1, 24)
+    blk = pl.BlockSpec((8, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _project_kernel,
+        grid=(rows // 8,),
+        in_specs=[pl.BlockSpec((1, 24), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [blk] * 11,
+        out_specs=[blk] * 8,
+        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 8,
+        interpret=interpret,
+    )(scal, *planes)
+    mx, my, ca, cb, cc, depth, radius, _ = [
+        o.reshape(-1)[:n] for o in outs]
     return ProjectedSplats(
-        mean2d=jnp.stack([mx, my], -1), conic=conic, depth=depth,
+        mean2d=jnp.stack([mx, my], -1),
+        conic=jnp.stack([ca, cb, cc], -1), depth=depth,
         radius=radius.astype(jnp.int32), color=colors, opacity=opacities)
 
 
@@ -948,10 +1045,10 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     max_radius = (float(level2_max_radius())
                   if big_splat_cap is not None else None)
     with jax.named_scope("gs.project"):
-        ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
-                               cloud.opacities, colors, view, proj,
-                               width, height, ky=ky,
-                               max_radius=max_radius)
+        ps = _project_fast(cloud.means, cloud.scales, cloud.quats,
+                           cloud.opacities, colors, view, proj,
+                           width, height, ky=ky, max_radius=max_radius,
+                           interpret=interpret)
     with jax.named_scope("gs.records"):
         records = _make_records(ps)            # original splat order
 

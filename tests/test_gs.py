@@ -61,16 +61,22 @@ def test_behind_camera_culled():
 
 
 def reference_composite(ps: ProjectedSplats, width, height, bg,
-                        two_level=False):
+                        two_level=False, return_sensitive=False):
     """Float64 per-pixel compositor with the kernel's tile-footprint rule:
     a splat contributes exactly to the pixels of the tiles it bins into.
     ``two_level=True`` mirrors the big_splat_cap path: splats larger than
-    the level-1 radius limit get the coarse KX2×KY2 span cap."""
+    the level-1 radius limit get the coarse KX2×KY2 span cap.
+    ``return_sensitive=True`` also returns a (H, W) bool mask of pixels
+    where some splat's alpha sits within f32-rounding distance of the
+    discrete ``_ALPHA_MIN`` cutoff — there the kernel's f32 arithmetic can
+    legitimately land on the other side of the 1/255 decision than this
+    f64 oracle, so tolerance assertions should exclude those pixels."""
     order = np.argsort(np.asarray(ps.depth), kind="stable")
     ys, xs = np.mgrid[0:height, 0:width]
     px, py = xs + 0.5, ys + 0.5
     img = np.zeros((height, width, 3))
     T = np.ones((height, width))
+    sensitive = np.zeros((height, width), bool)
     ntx = -(-width // gs.TILE_W)
     nty = -(-height // gs.TILE_H)
     r1 = gs.level1_max_radius()
@@ -87,18 +93,30 @@ def reference_composite(ps: ProjectedSplats, width, height, bg,
                   else (gs.KX, gs.KY))
         tx1 = min(tx1, tx0 + kx - 1)      # span cap, like the kernel
         ty1 = min(ty1, ty0 + ky - 1)
-        box = ((px >= tx0 * gs.TILE_W) & (px < (tx1 + 1) * gs.TILE_W)
-               & (py >= ty0 * gs.TILE_H) & (py < (ty1 + 1) * gs.TILE_H))
+        # footprint = union of span tiles whose rect the circle touches
+        # (the kernel's circle-vs-tile emission cull)
+        box = np.zeros_like(px, bool)
+        for tty in range(ty0, ty1 + 1):
+            for ttx in range(tx0, tx1 + 1):
+                rx0, ry0 = ttx * gs.TILE_W, tty * gs.TILE_H
+                ddx = max(rx0 - mx, mx - (rx0 + gs.TILE_W), 0.0)
+                ddy = max(ry0 - my, my - (ry0 + gs.TILE_H), 0.0)
+                if ddx * ddx + ddy * ddy <= r * r:
+                    box |= ((px >= rx0) & (px < rx0 + gs.TILE_W)
+                            & (py >= ry0) & (py < ry0 + gs.TILE_H))
         dx, dy = px - mx, py - my
         ca, cb, cc = np.asarray(ps.conic[i], np.float64)
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = float(ps.opacity[i]) * np.exp(power)
         alpha = np.minimum(alpha, gs._ALPHA_MAX)
+        sensitive |= box & (np.abs(alpha - gs._ALPHA_MIN)
+                            < 1e-5 * gs._ALPHA_MIN)
         alpha = np.where(alpha < gs._ALPHA_MIN, 0.0, alpha)
         alpha = np.where(box, alpha, 0.0)
         img += (T * alpha)[..., None] * np.asarray(ps.color[i], np.float64)
         T *= 1.0 - alpha
-    return img + T[..., None] * np.asarray(bg, np.float64)
+    out = img + T[..., None] * np.asarray(bg, np.float64)
+    return (out, sensitive) if return_sensitive else out
 
 
 def test_composite_matches_reference():
@@ -108,8 +126,10 @@ def test_composite_matches_reference():
     bg = (0.1, 0.2, 0.3)
     got = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
                                       interpret=True))
-    ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
-                           cloud.opacities, cloud.colors, view, proj, W, H)
+    # same projection the render used — binning is discrete in radius/mean
+    ps = gs._project_fast(cloud.means, cloud.scales, cloud.quats,
+                          cloud.opacities, cloud.colors, view, proj, W, H,
+                          interpret=True)
     want = reference_composite(ps, W, H, bg)
     assert np.isfinite(got).all()
     err = np.abs(got - want)
@@ -246,6 +266,27 @@ def test_max_splats_per_tile_lod():
     assert not np.allclose(full, capped)
 
 
+def test_project_fast_matches_jnp():
+    # the Pallas projection kernel vs the autodiff jnp path: same
+    # _project_math body, so outputs must agree to float tolerance
+    view, proj = camera()
+    cloud = random_cloud(1500, seed=13, extent=0.9,
+                         scale_range=(0.005, 0.3))
+    a = project_gaussians(cloud.means, cloud.scales, cloud.quats,
+                          cloud.opacities, cloud.colors, view, proj, W, H)
+    b = gs._project_fast(cloud.means, cloud.scales, cloud.quats,
+                         cloud.opacities, cloud.colors, view, proj, W, H,
+                         interpret=True)
+    va, vb = np.isfinite(np.asarray(a.depth)), np.isfinite(
+        np.asarray(b.depth))
+    np.testing.assert_array_equal(va, vb)
+    for name in ("mean2d", "conic", "depth", "radius"):
+        xa = np.asarray(getattr(a, name))[va]
+        xb = np.asarray(getattr(b, name))[vb]
+        np.testing.assert_allclose(xa, xb, rtol=2e-5, atol=2e-4,
+                                   err_msg=name)
+
+
 def test_big_splat_two_level_matches_reference():
     # splats larger than the level-1 radius clamp (15 px) render through
     # the coarse KX2xKY2 fan instead of being truncated: the two-level
@@ -261,14 +302,21 @@ def test_big_splat_two_level_matches_reference():
     bg = (0.05, 0.05, 0.1)
     got = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
                                       big_splat_cap=16, interpret=True))
-    ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
-                           cloud.opacities, cloud.colors, view, proj, W, H,
-                           max_radius=gs.level2_max_radius())
+    # oracle uses the same projection the render used (the binning
+    # footprint rule is discrete in radius/mean, so a different projection
+    # implementation could flip a tile-inclusion test)
+    ps = gs._project_fast(cloud.means, cloud.scales, cloud.quats,
+                          cloud.opacities, cloud.colors, view, proj, W, H,
+                          max_radius=gs.level2_max_radius(),
+                          interpret=True)
     r = np.asarray(ps.radius)[np.isfinite(np.asarray(ps.depth))]
     assert (r > gs.level1_max_radius()).sum() > 0, "scene has no big splat"
-    want = reference_composite(ps, W, H, bg, two_level=True)
-    err = np.abs(got - want)
-    assert err.max() < 2e-3, f"max err {err.max()}"
+    want, sens = reference_composite(ps, W, H, bg, two_level=True,
+                                     return_sensitive=True)
+    err = np.abs(got - want).max(axis=-1)
+    assert sens.mean() < 0.01, "scene too knife-edgy to be a golden test"
+    assert err[~sens].max() < 2e-3, f"max err {err[~sens].max()}"
+    assert err.max() < 0.05        # even knife-edge flips stay tiny
     # and the clamped single-level render is measurably different
     clamped = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
                                           interpret=True))

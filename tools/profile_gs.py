@@ -159,6 +159,23 @@ def main():
                                   interpret=ctx.interpret)
         return t + img[0, 0, 0] * 1e-12
 
+    def st_comp_m(t):
+        # full pipeline minus finalize/untile: stop at the raw planes
+        v = mk_view(t)
+        ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
+                                  cloud.opacities, cloud.colors, v, proj,
+                                  W, H)
+        recs = gs._make_records(ps)
+        pidx, steps, vis, ov, _ = gs._bin_splats(
+            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
+            max_per_tile=MPT)
+        packed = gs._pack_records(recs, pidx)
+        r, g, b, tt = gs._composite_call(packed, steps, nty, ntx,
+                                         ctx.interpret)
+        return t + (r[0, 0, 0] + g[0, 0, 0] + b[0, 0, 0]
+                    + tt[0, 0, 0]) * 1e-12
+
     if os.environ.get("RAYEATER_PROF_BENCHCFG", "0") != "0":
         t_proj = timeit("stage: project", loop(st_project), np.float32(0))
         t_rec = timeit("stage: +records", loop(st_records), np.float32(0))
@@ -166,11 +183,14 @@ def main():
                        np.float32(0))
         t_pack = timeit(f"stage: +pack[mpt={MPT}]", loop(st_pack_m),
                         np.float32(0))
+        t_comp = timeit(f"stage: +composite[mpt={MPT}]", loop(st_comp_m),
+                        np.float32(0))
         t_full = timeit(f"stage: full[capf=4 mpt={MPT}]", loop(st_full_m),
                         np.float32(0))
         print(f"deltas: project {t_proj:.1f}  rec {t_rec - t_proj:.1f}  "
               f"bin {t_bin - t_rec:.1f}  pack {t_pack - t_bin:.1f}  "
-              f"composite+fin {t_full - t_pack:.1f}", flush=True)
+              f"composite {t_comp - t_pack:.1f}  "
+              f"finalize {t_full - t_comp:.1f}", flush=True)
         return
 
     if os.environ.get("RAYEATER_PROF_STAGES", "1") != "0":
