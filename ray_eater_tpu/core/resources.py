@@ -123,17 +123,24 @@ class Texture:
     (see io.image.decode_srgb) and keep linear floats in HBM — same sampled
     values, no per-sample transcendentals.
 
-    ``packed``: optional ``(H, W, 16)`` quad-texel table — each entry holds
-    the 2x2 neighborhood (address mode pre-applied), so LINEAR sampling
-    costs ONE gather per pixel instead of four. Gathers are the slowest TPU
-    op, so this is a ~4x sampling speedup for 4x texture memory; built by
-    default at upload (``pack=False`` to skip for memory-tight scenes).
+    ``packed``: optional ``(H, W, 4)`` int32 quad-texel table — entry c
+    holds texel c of the 2x2 neighborhood [t00, t10, t01, t11] as RGBA8
+    packed little-endian (address-mode neighbors pre-applied), so LINEAR
+    sampling costs ONE 4-element row gather per pixel. TPU gathers are
+    ELEMENT-count bound (~2.2G elem/s regardless of dtype width), so
+    packing 4 u8 channels per element is a 4x sampling speedup over a
+    float table and 16x fewer gathered elements than 4 separate RGBA
+    fetches; sRGB decode (``packed_srgb``) runs as dense VPU math after
+    the gather — exactly what the reference's hardware does when sampling
+    an r8g8b8a8_srgb image (image.zig:449-455). Built by default at
+    upload (``pack=False`` to skip; 8-bit storage == source precision).
     """
     data: jnp.ndarray  # (H, W, 4) float32 linear
     sampler: Sampler = dataclasses.field(default=Sampler())
-    packed: jnp.ndarray | None = None   # (H, W, 16) quad-texel table
+    packed: jnp.ndarray | None = None   # (H, W, 4) int32 RGBA8 quad table
+    packed_srgb: bool = False  # decode sRGB->linear after the gather
 
-    _static_fields = ("sampler",)
+    _static_fields = ("sampler", "packed_srgb")
 
     @property
     def height(self) -> int:
@@ -144,15 +151,16 @@ class Texture:
         return self.data.shape[1]
 
 
-def _pack_quad_texels(f: np.ndarray, mode: AddressMode) -> np.ndarray:
-    """(H, W, 4) → (H, W, 16): [t00 | t10 | t01 | t11] with the +1 neighbor
+def _pack_quad_texels(u8: np.ndarray, mode: AddressMode) -> np.ndarray:
+    """(H, W, 4) uint8 → (H, W, 4) int32: [t00, t10, t01, t11] with each
+    texel's RGBA8 packed little-endian into one int32 and the +1 neighbor
     resolved under the sampler's address mode.
 
     Neighbor baking is only index-homomorphic for REPEAT; MIRRORED_REPEAT
     and CLAMP use clamp-neighbors — the sampler pre-wraps coordinates in
     continuous space so base indices always land in range (sampling.py
     ``_packed_coords``)."""
-    h, w = f.shape[:2]
+    h, w = u8.shape[:2]
 
     def nxt(n, size):
         i = np.arange(size) + n
@@ -160,13 +168,15 @@ def _pack_quad_texels(f: np.ndarray, mode: AddressMode) -> np.ndarray:
             return np.mod(i, size)
         return np.clip(i, 0, size - 1)
 
+    def rgba8(t):
+        t = t.astype(np.int64)
+        q = t[..., 0] | (t[..., 1] << 8) | (t[..., 2] << 16) | (t[..., 3] << 24)
+        return q.astype(np.uint32).astype(np.int32)  # wrap, not overflow
+
     x1 = nxt(1, w)
     y1 = nxt(1, h)
-    t00 = f
-    t10 = f[:, x1]
-    t01 = f[y1, :]
-    t11 = f[y1][:, x1]
-    return np.concatenate([t00, t10, t01, t11], -1)
+    return np.stack([rgba8(u8), rgba8(u8[:, x1]), rgba8(u8[y1, :]),
+                     rgba8(u8[y1][:, x1])], -1)
 
 
 def texture_from_array(rgba_u8: np.ndarray, sampler: Sampler | None = None,
@@ -180,8 +190,10 @@ def texture_from_array(rgba_u8: np.ndarray, sampler: Sampler | None = None,
         f[..., :3] = srgb_to_linear(f[..., :3])
     packed = None
     if pack and sampler.filter is Filter.LINEAR:
-        packed = jnp.asarray(_pack_quad_texels(f, sampler.address_mode))
-    return Texture(data=jnp.asarray(f), sampler=sampler, packed=packed)
+        packed = jnp.asarray(
+            _pack_quad_texels(np.asarray(rgba_u8), sampler.address_mode))
+    return Texture(data=jnp.asarray(f), sampler=sampler, packed=packed,
+                   packed_srgb=bool(srgb))
 
 
 def texture_from_file(path: str, sampler: Sampler | None = None,

@@ -80,6 +80,10 @@ _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
 # and never enter the kernel table.
 _MX, _MY, _CA, _CB, _CC, _OP, _CR, _CG, _CB2 = range(9)
 _ROWS = 12
+#: projection-kernel block rows (x128 lanes). The kernel is LATENCY-bound
+#: (a ~150-op serial dependency chain on small blocks starves the VPU
+#: pipeline), so bigger blocks = more independent instructions per op.
+_PROJ_BR = int(__import__("os").environ.get("RAYEATER_PROJ_BR", "256"))
 
 
 def level1_max_radius(ky: int = KY) -> int:
@@ -134,11 +138,10 @@ def project_gaussians(means, scales, quats, opacities, colors,
         max_radius = level1_max_radius(ky)
     scal = _project_scalars(view, proj, width, height, near,
                             float(max_radius))
+    cov = _cov3d_math(scales[:, 0], scales[:, 1], scales[:, 2],
+                      quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3])
     mx, my, ca, cb, cc, depth, radius, _ = _project_math(
-        means[:, 0], means[:, 1], means[:, 2],
-        scales[:, 0], scales[:, 1], scales[:, 2],
-        quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
-        opacities, scal)
+        means[:, 0], means[:, 1], means[:, 2], *cov, opacities, scal)
     return ProjectedSplats(
         mean2d=jnp.stack([mx, my], -1),
         conic=jnp.stack([ca, cb, cc], -1), depth=depth,
@@ -160,10 +163,35 @@ def _project_scalars(view, proj, width, height, near, max_radius):
         jnp.zeros((4,), jnp.float32)]).astype(jnp.float32)
 
 
-def _project_math(px_, py_, pz_, sx, sy, sz, qw, qx, qy, qz, op, scal):
+def _cov3d_math(sx, sy, sz, qw, qx, qy, qz):
+    """(scales, quats) → the 6 unique entries of the WORLD-space 3D
+    covariance Σ = (R S)(R S)ᵀ — elementwise, shape-polymorphic.
+
+    Split out of :func:`_project_math` because Σ is VIEW-INDEPENDENT: in
+    device-resident frame loops (lax.scan/fori over a camera path, the
+    bench shape) XLA hoists this whole chain out of the loop, so steady
+    state frames pay only the view congruence (~25% less projection math;
+    the projection kernel is compute-bound, tools/exp_project.py)."""
+    inv_n = jax.lax.rsqrt(
+        jnp.maximum(qw * qw + qx * qx + qy * qy + qz * qz, 1e-24))
+    w, x, y, z = qw * inv_n, qx * inv_n, qy * inv_n, qz * inv_n
+    # rotation columns scaled: M[i][j] = R[i][j] * s[j]
+    m = [[(1 - 2 * (y * y + z * z)) * sx, 2 * (x * y - w * z) * sy,
+          2 * (x * z + w * y) * sz],
+         [2 * (x * y + w * z) * sx, (1 - 2 * (x * x + z * z)) * sy,
+          2 * (y * z - w * x) * sz],
+         [2 * (x * z - w * y) * sx, 2 * (y * z + w * x) * sy,
+          (1 - 2 * (x * x + y * y)) * sz]]
+    dot = lambda i, j: (m[i][0] * m[j][0] + m[i][1] * m[j][1]
+                        + m[i][2] * m[j][2])
+    return dot(0, 0), dot(0, 1), dot(0, 2), dot(1, 1), dot(1, 2), dot(2, 2)
+
+
+def _project_math(px_, py_, pz_, s00, s01, s02, s11, s12, s22, op, scal):
     """Elementwise EWA projection core — shape-polymorphic (works on (N,)
-    columns in the jnp path and on (8, 128) VMEM blocks in the Pallas
-    kernel; ``scal`` indexes the _project_scalars packet).
+    columns in the jnp path and on (64, 128) VMEM blocks in the Pallas
+    kernel; ``scal`` indexes the _project_scalars packet; s** are the
+    static world covariance entries from :func:`_cov3d_math`).
 
     Fully scalar-expanded covariance math: elementwise ops only. The
     (N,3,3)-batched einsum formulation compiles pathologically on TPU
@@ -178,23 +206,13 @@ def _project_math(px_, py_, pz_, sx, sy, sz, qw, qx, qy, qz, op, scal):
     fx, fy, p00, p11 = v(12), v(13), v(14), v(15)
     width, height, near, max_radius = v(16), v(17), v(18), v(19)
 
-    inv_n = jax.lax.rsqrt(
-        jnp.maximum(qw * qw + qx * qx + qy * qy + qz * qz, 1e-24))
-    w, x, y, z = qw * inv_n, qx * inv_n, qy * inv_n, qz * inv_n
-    # rotation columns scaled: M[i][j] = R[i][j] * s[j]
-    m = [[(1 - 2 * (y * y + z * z)) * sx, 2 * (x * y - w * z) * sy,
-          2 * (x * z + w * y) * sz],
-         [2 * (x * y + w * z) * sx, (1 - 2 * (x * x + z * z)) * sy,
-          2 * (y * z - w * x) * sz],
-         [2 * (x * z - w * y) * sx, 2 * (y * z + w * x) * sy,
-          (1 - 2 * (x * x + y * y)) * sz]]
-
     # view transform
     pvx = r_v[0][0] * px_ + r_v[0][1] * py_ + r_v[0][2] * pz_ + tv[0]
     pvy = r_v[1][0] * px_ + r_v[1][1] * py_ + r_v[1][2] * pz_ + tv[1]
     zv = r_v[2][0] * px_ + r_v[2][1] * py_ + r_v[2][2] * pz_ + tv[2]
-    # B = Rv @ M  (rows 0..2); cov_view = B Bᵀ
-    b = [[sum(r_v[i][k] * m[k][j] for k in range(3)) for j in range(3)]
+    # view covariance congruence Σv = Rv Σ Rvᵀ: t = Rv Σ, then t Rvᵀ
+    sig = [[s00, s01, s02], [s01, s11, s12], [s02, s12, s22]]
+    t = [[sum(r_v[i][k] * sig[k][j] for k in range(3)) for j in range(3)]
          for i in range(3)]
 
     # perspective Jacobian of the screen mapping:
@@ -212,13 +230,15 @@ def _project_math(px_, py_, pz_, sx, sy, sz, qw, qx, qy, qz, op, scal):
     j11 = fy * inv_z
     j12 = -fy * tyz * inv_z
     # cov2d = J Σv Jᵀ, J = [[j00, 0, j02], [0, j11, j12]],
-    # Σv = B Bᵀ expanded component-wise
-    c00 = b[0][0] ** 2 + b[0][1] ** 2 + b[0][2] ** 2
-    c01 = b[0][0] * b[1][0] + b[0][1] * b[1][1] + b[0][2] * b[1][2]
-    c02 = b[0][0] * b[2][0] + b[0][1] * b[2][1] + b[0][2] * b[2][2]
-    c11 = b[1][0] ** 2 + b[1][1] ** 2 + b[1][2] ** 2
-    c12 = b[1][0] * b[2][0] + b[1][1] * b[2][1] + b[1][2] * b[2][2]
-    c22 = b[2][0] ** 2 + b[2][1] ** 2 + b[2][2] ** 2
+    # Σv entries from the congruence rows (cᵢⱼ = tᵢ · Rv[j])
+    cv = lambda i, j: (t[i][0] * r_v[j][0] + t[i][1] * r_v[j][1]
+                       + t[i][2] * r_v[j][2])
+    c00 = cv(0, 0)
+    c01 = cv(0, 1)
+    c02 = cv(0, 2)
+    c11 = cv(1, 1)
+    c12 = cv(1, 2)
+    c22 = cv(2, 2)
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + 0.3
     bb = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + 0.3
@@ -243,18 +263,11 @@ def _project_math(px_, py_, pz_, sx, sy, sz, qw, qx, qy, qz, op, scal):
             radius, jnp.where(valid, op, 0.0))
 
 
-def _project_kernel(scal_ref, px_ref, py_ref, pz_ref, sx_ref, sy_ref,
-                    sz_ref, qw_ref, qx_ref, qy_ref, qz_ref, op_ref,
-                    mx_ref, my_ref, ca_ref, cb_ref, cc_ref, d_ref, r_ref,
-                    ov_ref):
-    outs = _project_math(
-        px_ref[:], py_ref[:], pz_ref[:],
-        sx_ref[:], sy_ref[:], sz_ref[:],
-        qw_ref[:], qx_ref[:], qy_ref[:], qz_ref[:], op_ref[:],
-        lambda k: scal_ref[0, k])
-    for ref, val in zip((mx_ref, my_ref, ca_ref, cb_ref, cc_ref, d_ref,
-                         r_ref, ov_ref), outs):
-        ref[:] = val
+def _project_kernel(scal_ref, in_ref, out_ref):
+    outs = _project_math(*(in_ref[k] for k in range(10)),
+                         lambda k: scal_ref[0, k])
+    for k, val in enumerate(outs):
+        out_ref[k] = val
 
 
 def _project_fast(means, scales, quats, opacities, colors, view, proj,
@@ -262,16 +275,17 @@ def _project_fast(means, scales, quats, opacities, colors, view, proj,
                   max_radius: float | None = None, ky: int = KY,
                   interpret: bool = False) -> ProjectedSplats:
     """Pallas projection: the whole EWA math as ONE fused elementwise
-    kernel over (8, 128) splat blocks — a single HBM sweep (~90 MB at 1M
-    splats). Perf-NEUTRAL vs the jnp path on the flagship bench (XLA
-    already fuses the chain well; 17.93 vs 17.94 ms full-pipeline A/B,
-    BENCHLOG) — kept because it guarantees single-sweep fusion regardless
-    of XLA heuristics. Forward-only: training differentiates the jnp
+    kernel over (64, 128) splat blocks — a single HBM sweep (~90 MB at 1M
+    splats). The 11 input planes and 8 output planes ride as ONE stacked
+    (11, rows, 128) / (8, rows, 128) operand each, so a grid step issues 2
+    large DMAs instead of 19 small ones — the kernel is DMA-issue-bound,
+    not bandwidth-bound (19-operand (8, 128) version: 2.4 ms at 1M;
+    tools/exp_project.py). Forward-only: training differentiates the jnp
     :func:`project_gaussians` (same :func:`_project_math` body)."""
     if max_radius is None:
         max_radius = level1_max_radius(ky)
     n = means.shape[0]
-    npad = _pad_to(max(n, 1024), 1024)
+    npad = _pad_to(max(n, _PROJ_BR * 128), _PROJ_BR * 128)
     rows = npad // 128
 
     def plane(col):
@@ -280,27 +294,28 @@ def _project_fast(means, scales, quats, opacities, colors, view, proj,
                 [col, jnp.zeros((npad - n,), col.dtype)])
         return col.reshape(rows, 128)
 
-    planes = [plane(c) for c in
-              (means[:, 0], means[:, 1], means[:, 2],
-               scales[:, 0], scales[:, 1], scales[:, 2],
-               quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
-               opacities)]
+    cov = _cov3d_math(scales[:, 0], scales[:, 1], scales[:, 2],
+                      quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3])
+    planes = jnp.stack(
+        [plane(c) for c in
+         (means[:, 0], means[:, 1], means[:, 2], *cov,
+          opacities)])                                  # (10, rows, 128)
     scal = _project_scalars(view, proj, width, height, near,
                             float(max_radius)).reshape(1, 24)
-    blk = pl.BlockSpec((8, 128), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _project_kernel,
-        grid=(rows // 8,),
+        grid=(rows // _PROJ_BR,),
         in_specs=[pl.BlockSpec((1, 24), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)]
-        + [blk] * 11,
-        out_specs=[blk] * 8,
-        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 8,
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((10, _PROJ_BR, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, _PROJ_BR, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, rows, 128), jnp.float32),
         interpret=interpret,
-    )(scal, *planes)
+    )(scal, planes)
     mx, my, ca, cb, cc, depth, radius, _ = [
-        o.reshape(-1)[:n] for o in outs]
+        outs[k].reshape(-1)[:n] for k in range(8)]
     return ProjectedSplats(
         mean2d=jnp.stack([mx, my], -1),
         conic=jnp.stack([ca, cb, cc], -1), depth=depth,

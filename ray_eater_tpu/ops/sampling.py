@@ -13,6 +13,7 @@ design keeps it to exactly one sample per *visible* pixel per textured pass.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.resources import AddressMode, Filter, Texture
@@ -47,14 +48,16 @@ def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
         return data[yi, xi]
 
     if getattr(tex, "packed", None) is not None:
-        # quad-texel fast path: ONE gather fetches the 2x2 neighborhood
-        # (gathers are the dominant sampling cost on TPU)
+        # quad-texel fast path: ONE 4-int32 row gather fetches the whole
+        # 2x2 RGBA8 neighborhood (TPU gathers are ELEMENT-count bound, so
+        # 4 channels per element is a 4x over a float table); u8 decode +
+        # sRGB EOTF run as dense VPU math after the gather
         xi, fx = _packed_coords(uv[..., 0], w, s.address_mode)
         yi, fy = _packed_coords(uv[..., 1], h, s.address_mode)
         fx, fy = fx[..., None], fy[..., None]
-        quad = tex.packed[yi, xi]                       # (..., 16)
-        t00, t10 = quad[..., 0:4], quad[..., 4:8]
-        t01, t11 = quad[..., 8:12], quad[..., 12:16]
+        quad = tex.packed[yi, xi]                       # (..., 4) int32
+        t00, t10, t01, t11 = (
+            _decode_rgba8(quad[..., k], tex.packed_srgb) for k in range(4))
     else:
         x0 = jnp.floor(u).astype(jnp.int32)
         y0 = jnp.floor(v).astype(jnp.int32)
@@ -71,6 +74,20 @@ def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
     top = t00 * (1.0 - fx) + t10 * fx
     bot = t01 * (1.0 - fx) + t11 * fx
     return top * (1.0 - fy) + bot * fy
+
+
+def _decode_rgba8(q: jnp.ndarray, srgb: bool) -> jnp.ndarray:
+    """(...,) int32 little-endian RGBA8 → (..., 4) f32; RGB through the
+    exact IEC 61966-2-1 decode when ``srgb`` (matches io.image
+    srgb_to_linear bit-for-bit, so the packed path equals sampling the
+    float ``data`` plane)."""
+    ch = [((jax.lax.shift_right_logical(q, 8 * k) & 255)
+           .astype(jnp.float32) * (1.0 / 255.0)) for k in range(4)]
+    if srgb:
+        ch[:3] = [jnp.where(c <= 0.04045, c * (1.0 / 12.92),
+                            jnp.power((c + 0.055) * (1.0 / 1.055), 2.4))
+                  for c in ch[:3]]
+    return jnp.stack(ch, -1)
 
 
 def _packed_coords(u_norm: jnp.ndarray, n: int, mode: AddressMode):

@@ -36,3 +36,18 @@ def test_nearest_has_no_packed_table():
     t = texture_from_array(tex_u8, Sampler(filter=Filter.NEAREST),
                            srgb=False)
     assert t.packed is None
+
+
+def test_packed_srgb_matches_unpacked():
+    # sRGB textures store RGBA8 in the packed table and decode AFTER the
+    # gather — must equal sampling the pre-decoded float data plane
+    rng = np.random.RandomState(7)
+    tex_u8 = (rng.rand(17, 23, 4) * 255).astype(np.uint8)
+    sampler = Sampler(filter=Filter.LINEAR, address_mode=AddressMode.REPEAT)
+    packed = texture_from_array(tex_u8, sampler, srgb=True, pack=True)
+    unpacked = texture_from_array(tex_u8, sampler, srgb=True, pack=False)
+    assert packed.packed is not None and packed.packed_srgb
+    uv = (rng.rand(64, 2) * 3 - 1).astype(np.float32)
+    a = np.asarray(sample(packed, jnp.asarray(uv)))
+    b = np.asarray(sample(unpacked, jnp.asarray(uv)))
+    np.testing.assert_allclose(a, b, atol=2e-5)

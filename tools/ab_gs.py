@@ -19,9 +19,10 @@ ITERS = 10
 
 CONFIGS = [
     ("exact capf4", dict(pairs_cap_factor=4)),
-    ("mpt=1024", dict(pairs_cap_factor=4, max_splats_per_tile=1024)),
-    ("mpt=768", dict(pairs_cap_factor=4, max_splats_per_tile=768)),
     ("mpt=512", dict(pairs_cap_factor=4, max_splats_per_tile=512)),
+    ("mpt=448", dict(pairs_cap_factor=4, max_splats_per_tile=448)),
+    ("mpt=384", dict(pairs_cap_factor=4, max_splats_per_tile=384)),
+    ("mpt=256", dict(pairs_cap_factor=4, max_splats_per_tile=256)),
 ]
 
 

@@ -1,0 +1,90 @@
+"""Raster-path stage decomposition on the real TPU at 1080p (fori-loop
+harness; NOTE: every dispatch pays a fixed ~28 ms tunnel round-trip, so
+absolute numbers carry +28/ITERS ms — trust the deltas)."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 30
+
+
+def timeit(name, fn, *args):
+    import jax
+    f = jax.jit(fn)
+    out = f(*args); jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = f(*args); jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / ITERS * 1000)
+    print(f"{name:52s} {best:8.2f} ms/iter", flush=True)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import ray_eater_tpu as re
+    from ray_eater_tpu import rmath
+    from ray_eater_tpu.ops import raster
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "samples"))
+    import basic_planes as bp
+
+    W, H = 1920, 1080
+    ctx = re.Context()
+    print("device:", ctx.device, flush=True)
+    mesh = re.two_planes()
+    tex = bp.load_texture()
+    pipe = re.GraphicsPipeline(vertex_fn=re.shaders.mvp_vertex,
+                               fragment_fn=re.shaders.textured_border_fragment,
+                               name="basic_planes")
+    flat_pipe = re.GraphicsPipeline(
+        vertex_fn=re.shaders.mvp_vertex,
+        fragment_fn=lambda vary, res: jnp.concatenate(
+            [vary["color"], jnp.ones_like(vary["color"][..., :1])], -1),
+        name="flat")
+
+    def loop(body):
+        def run(t0):
+            def it(i, carry):
+                return body(carry + jnp.float32(i) * (1.0 / 60.0))
+            return lax.fori_loop(0, ITERS, it, t0)
+        return run
+
+    def full(t):
+        fb = re.create_framebuffer(W, H)
+        uni = bp.frame_uniforms(t, W / H)
+        fb = re.render_mesh(pipe, mesh, uni, {"tex": tex}, fb,
+                            interpret=ctx.interpret)
+        return t + fb.color[0, 0, 0] * 1e-12
+
+    def flat(t):
+        fb = re.create_framebuffer(W, H)
+        uni = bp.frame_uniforms(t, W / H)
+        fb = re.render_mesh(flat_pipe, mesh, uni, {}, fb,
+                            interpret=ctx.interpret)
+        return t + fb.color[0, 0, 0] * 1e-12
+
+    def carry_only(t):
+        return t * (1.0 + 1e-9)
+
+    t0 = timeit("carry only (dispatch floor)", loop(carry_only),
+                np.float32(0))
+    t1 = timeit("flat shade (no texture)", loop(flat), np.float32(0))
+    t2 = timeit("full textured frame", loop(full), np.float32(0))
+    print(f"deltas: flat-frame {t1 - t0:.2f}  texture {t2 - t1:.2f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
