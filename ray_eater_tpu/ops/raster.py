@@ -48,9 +48,12 @@ from ..utils.logging import scoped
 
 _log = scoped("raster")
 
-TILE_H = 8     # f32 sublane tile
+TILE_H = 32    # tile rows: 510 grid steps at 1080p (vs 2025 at 8) — the
+               # kernel is step-overhead-bound for small scenes
 TILE_W = 128   # lane tile
-CHUNK = 128    # triangles per grid step (SMEM setup block = 16x128)
+CHUNK = 128    # MAX triangles per grid step; scenes with fewer triangles
+               # use one right-sized chunk (the in-kernel fold loop runs
+               # chunk iterations, so a 4-triangle draw must not pay 128)
 
 # setup-plane rows (see _triangle_setup)
 _ROWS = 16     # padded to the f32 sublane multiple
@@ -200,7 +203,8 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
 
     rows = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz,
                       keep.astype(jnp.float32)])          # (10, 2T)
-    tpad = max(_pad_to(rows.shape[1], CHUNK), CHUNK)
+    chunk = min(CHUNK, max(_pad_to(rows.shape[1], 8), 8))
+    tpad = max(_pad_to(rows.shape[1], chunk), chunk)
     setup = jnp.zeros((_ROWS, tpad), jnp.float32)
     setup = setup.at[:10, :rows.shape[1]].set(rows)
     return setup, inv_w, z, bary_mix
@@ -208,7 +212,7 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
 
 def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
                    l0_ref, l1_ref, *, width, height, depth_test, last_wins,
-                   less_equal=False, static_test=False):
+                   chunk, less_equal=False, static_test=False):
     """One (tile, chunk) grid step: fold CHUNK triangles into the tile.
 
     ``static_test`` models Vulkan's depth_test=on/depth_write=off: every
@@ -258,7 +262,7 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
                 covered &= ((zval <= depth_init_ref[:]) if less_equal
                             else (zval < depth_init_ref[:]))
 
-            gid = k * CHUNK + c
+            gid = k * chunk + c
             if last_wins:
                 # without depth test the last covering primitive wins:
                 # sort key = descending global index
@@ -276,25 +280,32 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
             l0_ref[:] = jnp.where(upd, lam0, l0_ref[:])
             l1_ref[:] = jnp.where(upd, lam1, l1_ref[:])
 
-    jax.lax.fori_loop(0, CHUNK, fold, None)
+    jax.lax.fori_loop(0, chunk, fold, None)
 
 
 def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
                  interpret, less_equal=False, static_test=False):
-    hp, wp = depth_init.shape
+    hp0, wp = depth_init.shape
+    # tiles are TILE_H tall; pad framebuffer rows up (pad rows fail the
+    # scissor test, outputs are sliced back)
+    hp = max(_pad_to(hp0, TILE_H), TILE_H)
+    if hp != hp0:
+        depth_init = jnp.pad(depth_init, ((0, hp - hp0), (0, 0)),
+                             constant_values=jnp.inf)
     tpad = setup.shape[1]
-    grid = (hp // TILE_H, wp // TILE_W, tpad // CHUNK)
+    chunk = min(CHUNK, tpad)
+    grid = (hp // TILE_H, wp // TILE_W, tpad // chunk)
     kernel = functools.partial(
         _raster_kernel, width=float(width), height=float(height),
         depth_test=depth_test, last_wins=last_wins, less_equal=less_equal,
-        static_test=static_test)
+        static_test=static_test, chunk=chunk)
     tile = lambda i, j, k: (i, j)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             # plane coefficients are consumed scalar-wise → SMEM
-            pl.BlockSpec((_ROWS, CHUNK), lambda i, j, k: (0, k),
+            pl.BlockSpec((_ROWS, chunk), lambda i, j, k: (0, k),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_H, TILE_W), tile, memory_space=pltpu.VMEM),
         ],
@@ -312,6 +323,8 @@ def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
         ],
         interpret=interpret,
     )(setup, depth_init)
+    if hp != hp0:
+        out = [o[:hp0] for o in out]
     return out
 
 

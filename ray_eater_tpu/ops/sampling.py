@@ -55,7 +55,12 @@ def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
         xi, fx = _packed_coords(uv[..., 0], w, s.address_mode)
         yi, fy = _packed_coords(uv[..., 1], h, s.address_mode)
         fx, fy = fx[..., None], fy[..., None]
-        quad = tex.packed[yi, xi]                       # (..., 4) int32
+        # FLAT-index row gather: one axis-0 take on the (H*W, 4) view is
+        # 1.55x faster than image-shaped 2D indexing on TPU (15.3 -> 9.8
+        # ms at 2M samples, BENCHLOG round 2 gather probes)
+        flat = jnp.take(tex.packed.reshape(h * w, 4),
+                        (yi * w + xi).reshape(-1), axis=0)
+        quad = flat.reshape(*yi.shape, 4)               # (..., 4) int32
         t00, t10, t01, t11 = (
             _decode_rgba8(quad[..., k], tex.packed_srgb) for k in range(4))
     else:

@@ -149,7 +149,10 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
 
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
-    hp = _pad_to(height, raster_ops.TILE_H * d)
+    # bands need only f32-sublane (8-row) alignment: _raster_call pads its
+    # own rows to the kernel tile height and slices back, and padding to
+    # TILE_H*d here would make the final crop an uneven resharding slice
+    hp = _pad_to(height, 8 * d)
     band_px = hp // d
     wp = _pad_to(width, raster_ops.TILE_W)
 
