@@ -55,9 +55,20 @@ CHUNK = 128    # MAX triangles per grid step; scenes with fewer triangles
                # use one right-sized chunk (the in-kernel fold loop runs
                # chunk iterations, so a 4-triangle draw must not pay 128)
 
-# setup-plane rows (see _triangle_setup)
+# setup-plane rows (see _triangle_setup). XMIN..YMAX is the screen bbox
+# and GID the original triangle id (exact in f32 below 2^24) — consumed by
+# the binned large-scene path.
 _ROWS = 16     # padded to the f32 sublane multiple
-_A0, _B0, _C0, _A1, _B1, _C1, _AZ, _BZ, _CZ, _VALID = range(10)
+(_A0, _B0, _C0, _A1, _B1, _C1, _AZ, _BZ, _CZ, _VALID,
+ _XMIN, _XMAX, _YMIN, _YMAX, _GID) = range(15)
+
+#: triangle counts (post-clip) above this use GS-style tile binning — the
+#: dense kernel folds every triangle into every tile, which is quadratic
+#: work the moment scenes scale (293 ms at 10k tris/1080p, BENCHLOG)
+_BIN_MIN_TRIS = 512
+#: budget of triangles whose bbox exceeds the 2x2-tile level-1 fan; they
+#: emit a candidate pair for EVERY tile their bbox touches
+_BIG_TRI_CAP = 512
 
 _W_EPS = 1e-6
 _AREA_EPS = 1e-12
@@ -201,12 +212,18 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
     bz = b0 * (z0 - z2) + b1 * (z1 - z2)
     cz = c0 * (z0 - z2) + c1 * (z1 - z2) + z2
 
+    t2 = x0.shape[0]
     rows = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz,
-                      keep.astype(jnp.float32)])          # (10, 2T)
+                      keep.astype(jnp.float32),
+                      jnp.minimum(jnp.minimum(x0, x1), x2),
+                      jnp.maximum(jnp.maximum(x0, x1), x2),
+                      jnp.minimum(jnp.minimum(y0, y1), y2),
+                      jnp.maximum(jnp.maximum(y0, y1), y2),
+                      jnp.arange(t2, dtype=jnp.float32)])  # (15, 2T)
     chunk = min(CHUNK, max(_pad_to(rows.shape[1], 8), 8))
     tpad = max(_pad_to(rows.shape[1], chunk), chunk)
     setup = jnp.zeros((_ROWS, tpad), jnp.float32)
-    setup = setup.at[:10, :rows.shape[1]].set(rows)
+    setup = setup.at[:15, :rows.shape[1]].set(rows)
     return setup, inv_w, z, bary_mix
 
 
@@ -283,6 +300,221 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
     jax.lax.fori_loop(0, chunk, fold, None)
 
 
+def _bin_triangles(setup, ntx: int, nty: int):
+    """GS-style tile binning for triangles (design cf. ops/gs._bin_splats:
+    emit → one sort → direct chunk layout with block-local [lo, hi)).
+
+    Each live triangle emits candidate ``tile << idb | column`` keys for
+    the tiles its screen bbox touches: a static 2x2 fan for triangles
+    within 2x2 tiles (the common case at scale), and a budgeted
+    (_BIG_TRI_CAP) all-tiles fan for larger ones. One UNSTABLE int32 sort
+    groups pairs into per-tile runs; low bits carry the setup column, so
+    runs are in draw order (ties under LESS_EQUAL resolve identically to
+    the dense kernel) and the sort needs no payload. Returns
+    (pack (cap, _ROWS) pair-ordered setup rows, steps scalar-prefetch
+    tuple, visited (ntiles,), overflow_big scalar)."""
+    t2 = setup.shape[1]
+    ntiles = ntx * nty
+    idb = max(t2 - 1, 1).bit_length()
+    assert ntiles.bit_length() + idb <= 31, "tile|id key overflows int32"
+    sentinel = ntiles << idb
+    col = jnp.arange(t2, dtype=jnp.int32)
+    valid = setup[_VALID] > 0.5
+    tx0 = jnp.floor(setup[_XMIN] / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
+    tx1 = jnp.floor(setup[_XMAX] / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
+    ty0 = jnp.floor(setup[_YMIN] / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    ty1 = jnp.floor(setup[_YMAX] / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    small = valid & (tx1 - tx0 < 2) & (ty1 - ty0 < 2)
+    keys = []
+    for dy in range(2):
+        for dx in range(2):
+            ty, tx = ty0 + dy, tx0 + dx
+            ok = small & (ty <= ty1) & (tx <= tx1)
+            keys.append(jnp.where(ok, ((ty * ntx + tx) << idb) | col,
+                                  sentinel))
+    # budgeted big-triangle stream: bbox-culled all-tiles fan
+    big = valid & ~small
+    csum = jnp.cumsum(big.astype(jnp.int32))
+    nbig = csum[-1]
+    overflow_big = jnp.maximum(nbig - _BIG_TRI_CAP, 0)
+    slot = jnp.arange(_BIG_TRI_CAP, dtype=jnp.int32)
+    bidx = jnp.clip(jnp.searchsorted(csum, slot + 1, side="left"),
+                    0, t2 - 1).astype(jnp.int32)
+    bvalid = slot < nbig
+    btx0, btx1 = tx0[bidx], tx1[bidx]
+    bty0, bty1 = ty0[bidx], ty1[bidx]
+    tid = jnp.arange(ntiles, dtype=jnp.int32)
+    t_x, t_y = tid % ntx, tid // ntx
+    bok = (bvalid[:, None] & (t_x[None, :] >= btx0[:, None])
+           & (t_x[None, :] <= btx1[:, None])
+           & (t_y[None, :] >= bty0[:, None])
+           & (t_y[None, :] <= bty1[:, None]))            # (B, ntiles)
+    bkey = jnp.where(bok, (tid[None, :] << idb) | bidx[:, None], sentinel)
+    key_flat = jnp.concatenate(keys + [bkey.reshape(-1)])
+    sorted_key = jax.lax.sort(key_flat, is_stable=False)
+
+    m = key_flat.shape[0]
+    cap = _pad_to(m, CHUNK)
+    if cap > m:
+        sorted_key = jnp.concatenate(
+            [sorted_key, jnp.full(cap - m, sentinel, jnp.int32)])
+    ids = jnp.clip(sorted_key & ((1 << idb) - 1), 0, t2 - 1)
+
+    tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_key, tvec << idb,
+                             side="left").astype(jnp.int32)
+    startc = start[:-1]
+    count = start[1:] - startc
+    # direct chunk layout (= gs._bin_splats exact path): step s streams
+    # one contiguous CHUNK block of the sorted pairs, masked block-local
+    cap_steps = cap // CHUNK + ntiles
+    maxblk = cap // CHUNK - 1
+    end = startc + count
+    first_block = startc // CHUNK
+    nsteps = jnp.where(count > 0,
+                       (end + CHUNK - 1) // CHUNK - first_block, 0)
+    step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(nsteps).astype(jnp.int32)])
+    total_steps = step_off[-1]
+    sid = jnp.arange(cap_steps, dtype=jnp.int32)
+    owner = jnp.clip(jnp.searchsorted(step_off, sid, side="right")
+                     .astype(jnp.int32) - 1, 0, ntiles - 1)
+    live_step = sid < total_steps
+    step_tile = jnp.where(live_step, owner, ntiles)
+    step_first = ((sid == step_off[owner]) & live_step).astype(jnp.int32)
+    orig_block = jnp.clip(first_block[owner] + (sid - step_off[owner]),
+                          0, maxblk)
+    blk_base = orig_block * CHUNK
+    step_lo = jnp.where(live_step,
+                        jnp.clip(startc[owner] - blk_base, 0, CHUNK), 0)
+    step_hi = jnp.where(live_step,
+                        jnp.clip(end[owner] - blk_base, 0, CHUNK), 0)
+    # pack the setup columns into pair order: one (cap, _ROWS) row gather
+    pack = jnp.take(setup.T, ids, axis=0)
+    steps = (step_tile, step_first, orig_block, step_lo, step_hi)
+    return pack, steps, count > 0, overflow_big
+
+
+def _raster_kernel_binned(step_tile_ref, step_first_ref, step_block_ref,
+                          step_lo_ref, step_hi_ref, pack_ref,
+                          depth_init_ref, depth_ref, tri_ref, l0_ref,
+                          l1_ref, *, width, height, depth_test, last_wins,
+                          ntx, ntiles, less_equal=False, static_test=False):
+    """Binned variant of :func:`_raster_kernel`: a 1-D grid over
+    scalar-prefetched steps; step s folds the [lo, hi) rows of pack block
+    ``step_block[s]`` into its owning tile (same fold semantics as the
+    dense kernel — winner id comes from the packed _GID column)."""
+    si = pl.program_id(0)
+    tile = step_tile_ref[si]
+
+    @pl.when(tile < ntiles)
+    def _():
+        @pl.when(step_first_ref[si] == 1)
+        def _init():
+            depth_ref[:] = (depth_init_ref[:]
+                            if depth_test and not static_test
+                            else jnp.full_like(depth_init_ref[:], jnp.inf))
+            tri_ref[:] = jnp.full_like(tri_ref[:], -1)
+            l0_ref[:] = jnp.zeros_like(l0_ref[:])
+            l1_ref[:] = jnp.zeros_like(l1_ref[:])
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0
+                                       ).astype(jnp.float32)
+        colf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1
+                                        ).astype(jnp.float32)
+        py = ((tile // ntx) * TILE_H).astype(jnp.float32) + row + 0.5
+        px = ((tile % ntx) * TILE_W).astype(jnp.float32) + colf + 0.5
+        scissor = (px < width) & (py < height)
+        lo = step_lo_ref[si]
+        hi = step_hi_ref[si]
+
+        def fold(c, _):
+            live = (c >= lo) & (c < hi) & (pack_ref[c, _VALID] > 0.5)
+
+            @pl.when(live)
+            def _():
+                a0, b0, c0 = (pack_ref[c, _A0], pack_ref[c, _B0],
+                              pack_ref[c, _C0])
+                a1, b1, c1 = (pack_ref[c, _A1], pack_ref[c, _B1],
+                              pack_ref[c, _C1])
+                az, bz, cz = (pack_ref[c, _AZ], pack_ref[c, _BZ],
+                              pack_ref[c, _CZ])
+                lam0 = a0 * px + b0 * py + c0
+                lam1 = a1 * px + b1 * py + c1
+                zval = az * px + bz * py + cz
+                covered = ((lam0 >= 0.0) & (lam1 >= 0.0)
+                           & (lam0 + lam1 <= 1.0))
+                covered &= scissor & (zval >= 0.0) & (zval <= 1.0)
+                if static_test:
+                    covered &= ((zval <= depth_init_ref[:]) if less_equal
+                                else (zval < depth_init_ref[:]))
+                gid = pack_ref[c, _GID].astype(jnp.int32)
+                if last_wins:
+                    key = jnp.where(covered, -gid.astype(jnp.float32),
+                                    jnp.inf)
+                else:
+                    key = jnp.where(covered, zval, jnp.inf)
+                cur = depth_ref[:]
+                upd = (key <= cur) if less_equal else (key < cur)
+                depth_ref[:] = jnp.where(upd, key, cur)
+                tri_ref[:] = jnp.where(upd, gid, tri_ref[:])
+                l0_ref[:] = jnp.where(upd, lam0, l0_ref[:])
+                l1_ref[:] = jnp.where(upd, lam1, l1_ref[:])
+
+        jax.lax.fori_loop(0, CHUNK, fold, None)
+
+
+def _raster_call_binned(setup, depth_init, width, height, depth_test,
+                        last_wins, interpret, less_equal=False,
+                        static_test=False):
+    hp, wp = depth_init.shape
+    ntx, nty = wp // TILE_W, hp // TILE_H
+    ntiles = ntx * nty
+    pack, steps, visited, _ = _bin_triangles(setup, ntx, nty)
+    nsteps = steps[0].shape[0]
+    kernel = functools.partial(
+        _raster_kernel_binned, width=float(width), height=float(height),
+        depth_test=depth_test, last_wins=last_wins, less_equal=less_equal,
+        static_test=static_test, ntx=ntx, ntiles=ntiles)
+
+    def tmap(si, st, sf, sb, sl, sh):
+        t = jnp.minimum(st[si], ntiles - 1)   # dead tail parks on last tile
+        return (t // ntx, t % ntx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, _ROWS),
+                         lambda si, st, sf, sb, sl, sh: (sb[si], 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_H, TILE_W), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((TILE_H, TILE_W), tmap,
+                                memory_space=pltpu.VMEM)] * 4,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*steps, pack, depth_init)
+    # tiles no step visited keep garbage — fill with the cleared state
+    vis = jnp.repeat(jnp.repeat(visited.reshape(nty, ntx), TILE_H, 0),
+                     TILE_W, 1)
+    init_depth = (depth_init if depth_test and not static_test
+                  else jnp.full_like(depth_init, jnp.inf))
+    return [jnp.where(vis, out[0], init_depth),
+            jnp.where(vis, out[1], -1),
+            jnp.where(vis, out[2], 0.0),
+            jnp.where(vis, out[3], 0.0)]
+
+
 def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
                  interpret, less_equal=False, static_test=False):
     hp0, wp = depth_init.shape
@@ -293,6 +525,14 @@ def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
         depth_init = jnp.pad(depth_init, ((0, hp - hp0), (0, 0)),
                              constant_values=jnp.inf)
     tpad = setup.shape[1]
+    if tpad > _BIN_MIN_TRIS:
+        out = _raster_call_binned(setup, depth_init, width, height,
+                                  depth_test, last_wins, interpret,
+                                  less_equal=less_equal,
+                                  static_test=static_test)
+        if hp != hp0:
+            out = [o[:hp0] for o in out]
+        return out
     chunk = min(CHUNK, tpad)
     grid = (hp // TILE_H, wp // TILE_W, tpad // chunk)
     kernel = functools.partial(
@@ -358,37 +598,41 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
 
     num_tris = inv_w.shape[0]
     names = list(tri_vary)
+    hw = t.shape
+    # ONE combined feature table [inv_w (3) | z (3)? | per-varying
+    # (3*K)...] regardless of scene size, fetched per pixel either by a
+    # one-hot MXU matmul (small T) or by a single flat-index row gather
+    # (large T: TPU gathers are ROW-count bound at ~140-210M rows/s, so
+    # one (P, F) row fetch beats a take per attribute by the attribute
+    # count; image-shaped 2D indexing is another 1.55x slower — BENCHLOG
+    # round 2 gather probes).
+    cols = [inv_w]                                    # (T, 3)
+    if z_tri is not None:
+        cols.append(z_tri)                            # (T, 3)
+    for name in names:
+        cols.append(tri_vary[name].reshape(num_tris, -1))
+    table = jnp.concatenate(cols, -1)                 # (T, F)
     if num_tris <= _ONEHOT_MAX_TRIS:
-        # feature table: [inv_w (3) | z (3)? | per-varying (3*K)...]
-        cols = [inv_w]                                # (T, 3)
-        if z_tri is not None:
-            cols.append(z_tri)                        # (T, 3)
-        for name in names:
-            cols.append(tri_vary[name].reshape(num_tris, -1))
-        table = jnp.concatenate(cols, -1)             # (T, F)
-        hw = t.shape
         onehot = (t.reshape(-1)[:, None]
                   == jnp.arange(num_tris, dtype=gtri.dtype)[None, :]
                   ).astype(jnp.float32)               # (P, T)
         feats = jnp.matmul(onehot, table,
                            preferred_element_type=jnp.float32)  # (P, F)
-        feats = feats.reshape(*hw, -1)                # (H, W, F)
-        iw = feats[..., :3]
-        offs = 3
-        z_px = None
-        if z_tri is not None:
-            z_px = feats[..., 3:6]                    # (H, W, 3)
-            offs = 6
-        fetched = {}
-        for name in names:
-            k = tri_vary[name].shape[-1]
-            fetched[name] = feats[..., offs:offs + 3 * k].reshape(
-                *hw, 3, k)
-            offs += 3 * k
     else:
-        iw = inv_w[t]                                 # (H, W, 3)
-        z_px = None if z_tri is None else z_tri[t]    # (H, W, 3)
-        fetched = {name: tri_vary[name][t] for name in names}
+        feats = jnp.take(table, t.reshape(-1), axis=0)          # (P, F)
+    feats = feats.reshape(*hw, -1)                    # (H, W, F)
+    iw = feats[..., :3]
+    offs = 3
+    z_px = None
+    if z_tri is not None:
+        z_px = feats[..., 3:6]                        # (H, W, 3)
+        offs = 6
+    fetched = {}
+    for name in names:
+        k = tri_vary[name].shape[-1]
+        fetched[name] = feats[..., offs:offs + 3 * k].reshape(
+            *hw, 3, k)
+        offs += 3 * k
 
     lp = lam * iw
     denom = jnp.sum(lp, -1, keepdims=True)

@@ -286,3 +286,65 @@ def _ndc_vertex(positions, attrs, uniforms):
     ones = jnp.ones((positions.shape[0], 1), jnp.float32)
     clip = jnp.concatenate([positions, ones], -1)
     return clip, dict(attrs)
+
+
+def _grid_scene(g=12):
+    """g x g quad grid (2*g*g triangles) with per-vertex color + uv."""
+    from ray_eater_tpu.models.mesh import mesh as make_mesh
+    rng = np.random.RandomState(9)
+    xs, ys = np.meshgrid(np.linspace(-0.9, 0.9, g + 1),
+                         np.linspace(-0.9, 0.9, g + 1))
+    pos = np.stack([xs, ys, 0.1 * rng.rand(g + 1, g + 1)], -1
+                   ).reshape(-1, 3)
+    col = rng.rand((g + 1) * (g + 1), 3)
+    uv = np.stack([xs, ys], -1).reshape(-1, 2) * 0.5 + 0.5
+    quads = []
+    for j in range(g):
+        for i in range(g):
+            a = j * (g + 1) + i
+            quads += [[a, a + 1, a + g + 2], [a + g + 2, a + g + 1, a]]
+    m = make_mesh(pos, quads, color=col, uv=uv)
+    uni = sample_uniforms()
+    pipe = GraphicsPipeline(vertex_fn=re.shaders.mvp_vertex,
+                            fragment_fn=flat_color_fragment)
+    return m, uni, pipe
+
+
+def test_large_scene_gather_fetch_matches_onehot():
+    # >256 triangles routes attribute fetch through the flat-index row
+    # gather instead of the one-hot matmul — both fetch paths must agree
+    # (raster.py _shade; VERDICT round 1 item 7)
+    from ray_eater_tpu.ops import raster as raster_ops
+    m, uni, pipe = _grid_scene()
+    assert m.num_triangles > raster_ops._ONEHOT_MAX_TRIS
+    got_c, got_d = run_render(pipe, m, uni)            # gather path
+
+    orig = raster_ops._ONEHOT_MAX_TRIS
+    raster_ops._ONEHOT_MAX_TRIS = 10_000
+    try:
+        want_c, want_d = run_render(pipe, m, uni)      # one-hot path
+    finally:
+        raster_ops._ONEHOT_MAX_TRIS = orig
+    np.testing.assert_allclose(got_c, want_c, atol=2e-5)
+    m2 = np.isfinite(want_d)
+    np.testing.assert_allclose(got_d[m2], want_d[m2], atol=1e-5)
+
+
+def test_binned_raster_matches_dense():
+    # >512 post-clip triangles route through GS-style tile binning; the
+    # binned kernel must reproduce the dense fold exactly (same fold
+    # order: pair keys carry the setup column in their low bits)
+    from ray_eater_tpu.ops import raster as raster_ops
+    m, uni, pipe = _grid_scene()
+    assert 2 * m.num_triangles > raster_ops._BIN_MIN_TRIS
+    got_c, got_d = run_render(pipe, m, uni)            # binned path
+
+    orig = raster_ops._BIN_MIN_TRIS
+    raster_ops._BIN_MIN_TRIS = 10 ** 9
+    try:
+        want_c, want_d = run_render(pipe, m, uni)      # dense path
+    finally:
+        raster_ops._BIN_MIN_TRIS = orig
+    np.testing.assert_allclose(got_c, want_c, atol=2e-5)
+    mk = np.isfinite(want_d)
+    np.testing.assert_allclose(got_d[mk], want_d[mk], atol=1e-5)
