@@ -107,11 +107,20 @@ class AddressMode(enum.Enum):
 
 @dataclasses.dataclass(frozen=True)
 class Sampler:
-    """Static sampler state (image.zig:85-129; anisotropy is a no-op here —
-    we have no mips yet, matching the reference's single-mip images,
-    image.zig:360-366)."""
+    """Static sampler state (image.zig:85-129).
+
+    ``mipmap=True`` builds a full pyramid at upload and samples with
+    per-pixel trilinear LOD from screen-space uv derivatives — this
+    EXCEEDS the reference, whose images are single-mip (image.zig:360-366)
+    even though its sampler requests anisotropic filtering.
+    ``max_anisotropy`` then applies the standard LOD-sharpening
+    approximation (the minification axis may be up to this factor finer
+    than isotropic LOD would allow, like the reference's
+    maxAnisotropy=props.limits.maxSamplerAnisotropy, image.zig:99-101)."""
     filter: Filter = Filter.LINEAR
     address_mode: AddressMode = AddressMode.MIRRORED_REPEAT
+    mipmap: bool = False
+    max_anisotropy: float = 1.0
 
 
 @pytree_dataclass
@@ -139,8 +148,14 @@ class Texture:
     sampler: Sampler = dataclasses.field(default=Sampler())
     packed: jnp.ndarray | None = None   # (H, W, 4) int32 RGBA8 quad table
     packed_srgb: bool = False  # decode sRGB->linear after the gather
+    #: flat quad-texel pyramid: level l's (h_l * w_l, 4) table rows start
+    #: at mip_dims[l][2]; built when the sampler requests mipmaps. One
+    #: flat table keeps LOD sampling a SINGLE row gather per tap even
+    #: with a per-pixel level.
+    mip_table: jnp.ndarray | None = None    # (sum h_l*w_l, 4) int32
+    mip_dims: tuple = ()                    # ((h_l, w_l, offset), ...)
 
-    _static_fields = ("sampler", "packed_srgb")
+    _static_fields = ("sampler", "packed_srgb", "mip_dims")
 
     @property
     def height(self) -> int:
@@ -189,11 +204,50 @@ def texture_from_array(rgba_u8: np.ndarray, sampler: Sampler | None = None,
     if srgb:
         f[..., :3] = srgb_to_linear(f[..., :3])
     packed = None
+    mip_table, mip_dims = None, ()
     if pack and sampler.filter is Filter.LINEAR:
         packed = jnp.asarray(
             _pack_quad_texels(np.asarray(rgba_u8), sampler.address_mode))
+        if sampler.mipmap:
+            mip_table, mip_dims = _build_mip_pyramid(
+                np.asarray(rgba_u8), f, srgb, sampler.address_mode)
     return Texture(data=jnp.asarray(f), sampler=sampler, packed=packed,
-                   packed_srgb=bool(srgb))
+                   packed_srgb=bool(srgb), mip_table=mip_table,
+                   mip_dims=mip_dims)
+
+
+def _build_mip_pyramid(u8: np.ndarray, linear: np.ndarray, srgb: bool,
+                       mode: AddressMode):
+    """Box-filtered mip pyramid, filtered in LINEAR light (what hardware
+    mip generation does), re-encoded to RGBA8 (sRGB when the base is) and
+    quad-packed per level into one flat (sum h_l*w_l, 4) int32 table."""
+    from ..io.image import linear_to_srgb
+    levels, dims, off = [], [], 0
+    lvl_lin = linear
+    lvl_u8 = u8
+    while True:
+        h, w = lvl_u8.shape[:2]
+        q = _pack_quad_texels(lvl_u8, mode).reshape(h * w, 4)
+        levels.append(q)
+        dims.append((h, w, off))
+        off += h * w
+        if h == 1 and w == 1:
+            break
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        # 2x2 box in linear space (odd tails fold into the last cell)
+        acc = np.zeros((h2, w2, 4), np.float64)
+        cnt = np.zeros((h2, w2, 1), np.float64)
+        for dy in range(2):
+            for dx in range(2):
+                sub = lvl_lin[dy::2, dx::2][:h2, :w2]
+                acc[:sub.shape[0], :sub.shape[1]] += sub
+                cnt[:sub.shape[0], :sub.shape[1]] += 1
+        lvl_lin = (acc / cnt).astype(np.float32)
+        enc = lvl_lin.copy()
+        if srgb:
+            enc[..., :3] = np.asarray(linear_to_srgb(enc[..., :3]))
+        lvl_u8 = np.clip(np.round(enc * 255.0), 0, 255).astype(np.uint8)
+    return jnp.asarray(np.concatenate(levels)), tuple(dims)
 
 
 def texture_from_file(path: str, sampler: Sampler | None = None,

@@ -47,6 +47,11 @@ def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
         yi = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, s.address_mode)
         return data[yi, xi]
 
+    if (s.filter is Filter.LINEAR and s.mipmap
+            and getattr(tex, "mip_table", None) is not None
+            and uv.ndim >= 3):
+        return _sample_mip(tex, uv)
+
     if getattr(tex, "packed", None) is not None:
         # quad-texel fast path: ONE 4-int32 row gather fetches the whole
         # 2x2 RGBA8 neighborhood (TPU gathers are ELEMENT-count bound, so
@@ -111,3 +116,79 @@ def _packed_coords(u_norm: jnp.ndarray, n: int, mode: AddressMode):
     t = jnp.clip(u_norm * n - 0.5, 0.0, n - 1.0)
     i0 = jnp.floor(t).astype(jnp.int32)
     return i0, t - i0.astype(jnp.float32)
+
+
+def _packed_coords_n(u_norm: jnp.ndarray, n: jnp.ndarray,
+                     mode: AddressMode):
+    """:func:`_packed_coords` with a PER-PIXEL texture size ``n`` (int32
+    array) — the mip path's level dimensions vary per pixel."""
+    nf = n.astype(jnp.float32)
+    if mode is AddressMode.REPEAT:
+        t = u_norm * nf - 0.5
+        i0 = jnp.floor(t).astype(jnp.int32)
+        return jnp.mod(i0, n), t - i0.astype(jnp.float32)
+    if mode is AddressMode.MIRRORED_REPEAT:
+        m = jnp.mod(u_norm, 2.0)
+        u_norm = jnp.where(m <= 1.0, m, 2.0 - m)
+    else:  # CLAMP_TO_EDGE
+        u_norm = jnp.clip(u_norm, 0.0, 1.0)
+    t = jnp.clip(u_norm * nf - 0.5, 0.0, nf - 1.0)
+    i0 = jnp.floor(t).astype(jnp.int32)
+    return i0, t - i0.astype(jnp.float32)
+
+
+def _mip_tap(tex, u, v, level: jnp.ndarray):
+    """One bilinear tap at a PER-PIXEL integer mip level: one flat-index
+    row gather into the concatenated pyramid table."""
+    s = tex.sampler
+    h0, w0 = tex.mip_dims[0][0], tex.mip_dims[0][1]
+    hl = jnp.maximum(jnp.right_shift(jnp.int32(h0), level), 1)
+    wl = jnp.maximum(jnp.right_shift(jnp.int32(w0), level), 1)
+    # level base offsets: L is tiny, so a select-sum beats a (P,) gather
+    off = jnp.zeros_like(level)
+    for li, (_, _, o) in enumerate(tex.mip_dims):
+        off = jnp.where(level == li, jnp.int32(o), off)
+    xi, fx = _packed_coords_n(u, wl, s.address_mode)
+    yi, fy = _packed_coords_n(v, hl, s.address_mode)
+    flat = jnp.take(tex.mip_table.reshape(-1, 4),
+                    (off + yi * wl + xi).reshape(-1), axis=0)
+    quad = flat.reshape(*yi.shape, 4)
+    t00, t10, t01, t11 = (
+        _decode_rgba8(quad[..., k], tex.packed_srgb) for k in range(4))
+    fx, fy = fx[..., None], fy[..., None]
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _sample_mip(tex, uv: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear mipmapped sampling with per-pixel LOD from screen-space
+    uv derivatives (edge-replicated finite differences — the dense-array
+    analog of the GPU's 2x2-quad derivatives, same boundary caveats) and
+    the standard anisotropic LOD-sharpening approximation
+    (``Sampler.max_anisotropy``). Two taps (adjacent levels) + lerp."""
+    s = tex.sampler
+    h0, w0 = tex.mip_dims[0][0], tex.mip_dims[0][1]
+    nlev = len(tex.mip_dims)
+    u, v = uv[..., 0], uv[..., 1]
+
+    def ddiff(a, axis):
+        d = jnp.diff(a, axis=axis)
+        edge = jax.lax.slice_in_dim(d, d.shape[axis] - 1, d.shape[axis],
+                                    axis=axis)
+        return jnp.concatenate([d, edge], axis=axis)
+
+    dudx, dvdx = ddiff(u, -1) * w0, ddiff(v, -1) * h0
+    dudy, dvdy = ddiff(u, -2) * w0, ddiff(v, -2) * h0
+    ddx = dudx * dudx + dvdx * dvdx
+    ddy = dudy * dudy + dvdy * dvdy
+    r_max = jnp.sqrt(jnp.maximum(jnp.maximum(ddx, ddy), 1e-20))
+    r_min = jnp.sqrt(jnp.maximum(jnp.minimum(ddx, ddy), 1e-20))
+    aniso = jnp.clip(r_max / r_min, 1.0, float(s.max_anisotropy))
+    lod = jnp.log2(jnp.maximum(r_max / aniso, 1.0))
+    lod = jnp.clip(lod, 0.0, float(nlev - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    a = _mip_tap(tex, u, v, l0)
+    b = _mip_tap(tex, u, v, jnp.minimum(l0 + 1, nlev - 1))
+    return a * (1.0 - frac) + b * frac

@@ -51,3 +51,45 @@ def test_packed_srgb_matches_unpacked():
     a = np.asarray(sample(packed, jnp.asarray(uv)))
     b = np.asarray(sample(unpacked, jnp.asarray(uv)))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_mipmap_magnification_matches_base_level():
+    # magnified sampling (uv derivatives << 1 texel/px) must stay on mip
+    # level 0 == the non-mip packed path
+    rng = np.random.RandomState(3)
+    tex_u8 = (rng.rand(32, 32, 4) * 255).astype(np.uint8)
+    smip = Sampler(filter=Filter.LINEAR, address_mode=AddressMode.REPEAT,
+                   mipmap=True)
+    tmip = texture_from_array(tex_u8, smip, srgb=False)
+    tbase = texture_from_array(
+        tex_u8, Sampler(filter=Filter.LINEAR,
+                        address_mode=AddressMode.REPEAT), srgb=False)
+    assert tmip.mip_table is not None and len(tmip.mip_dims) == 6
+    ys, xs = np.mgrid[0:64, 0:64]
+    uv = np.stack([xs, ys], -1).astype(np.float32) / 256.0  # 4x magnified
+    a = np.asarray(sample(tmip, jnp.asarray(uv)))
+    b = np.asarray(sample(tbase, jnp.asarray(uv)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_mipmap_minification_averages():
+    # heavy minification must read coarse levels: a checkerboard sampled
+    # at ~16 texels/pixel converges to its mean instead of aliasing
+    y, x = np.mgrid[0:64, 0:64]
+    checker = ((x // 4 + y // 4) % 2).astype(np.uint8) * 255
+    tex_u8 = np.stack([checker] * 3 + [np.full_like(checker, 255)], -1)
+    smip = Sampler(filter=Filter.LINEAR, address_mode=AddressMode.REPEAT,
+                   mipmap=True)
+    tmip = texture_from_array(tex_u8, smip, srgb=False)
+    ys, xs = np.mgrid[0:16, 0:16]
+    # 64 texels per pixel; the 0.013 offset keeps base-level samples off
+    # texel midpoints (where bilinear would average to 0.5 by accident)
+    uv = np.stack([xs, ys], -1).astype(np.float32) + 0.013
+    got = np.asarray(sample(tmip, jnp.asarray(uv)))[..., 0]
+    assert np.abs(got - 0.5).max() < 0.05, "coarse level should average"
+    # and the single-level path aliases (sanity that the test means something)
+    tbase = texture_from_array(
+        tex_u8, Sampler(filter=Filter.LINEAR,
+                        address_mode=AddressMode.REPEAT), srgb=False)
+    base = np.asarray(sample(tbase, jnp.asarray(uv)))[..., 0]
+    assert np.abs(base - 0.5).max() > 0.4
