@@ -27,19 +27,31 @@ def main():
 
     import ray_eater_tpu as re
     from ray_eater_tpu import rmath
-    from ray_eater_tpu.models.gaussians import random_cloud
+    from ray_eater_tpu.models.gaussians import random_cloud, shell_cloud
+
     from ray_eater_tpu.ops.gs import render_gaussians
 
     n = int(os.environ.get("RAYEATER_BENCH_SPLATS", 1_000_000))
     frames = int(os.environ.get("RAYEATER_BENCH_FRAMES", 60))
     res = os.environ.get("RAYEATER_BENCH_RES", "1920x1080")
+    # "fog" (default): the volumetric random-cube flythrough (BASELINE
+    # config). "shell": surface-like tangent-disk scene — NOTE that with
+    # 3-6 px splats its per-tile lists run 2000+ deep, so the LOD pool
+    # must be raised (RAYEATER_BENCH_MPT) or the render made exact
+    # (RAYEATER_BENCH_MPT=0) for fidelity; the PSNR gate below prints the
+    # actual quality either way (BENCHLOG round 2).
+    scene = os.environ.get("RAYEATER_BENCH_SCENE", "fog")
     W, H = (int(v) for v in res.split("x"))
 
     ctx = re.Context()
     interpret = ctx.interpret
-    log(f"bench: {n} splats {W}x{H} x{frames} frames on {ctx.device}")
+    log(f"bench: {scene} {n} splats {W}x{H} x{frames} frames on {ctx.device}")
 
-    cloud = random_cloud(n, seed=1, extent=1.0, scale_range=(0.004, 0.02))
+    if scene == "shell":
+        cloud = shell_cloud(n, seed=1)
+    else:
+        cloud = random_cloud(n, seed=1, extent=1.0,
+                             scale_range=(0.004, 0.02))
 
     # camera math lives INSIDE the jitted frame: eager rmath calls are each
     # a tiny device dispatch — through this tunnel that costs ~100 ms/frame.
@@ -51,11 +63,12 @@ def main():
     # verified each run via the overflow stat printed below. Override with
     # RAYEATER_BENCH_CAP_FACTOR (0 = exact worst-case buffers).
     capf = int(os.environ.get("RAYEATER_BENCH_CAP_FACTOR", 4)) or None
-    # per-tile LOD: keep the nearest 512 splats per 32x128 tile (the
-    # transmittance saturates long before that on this scene — 66.9 dB
-    # PSNR vs the exact render, same-process A/B in BENCHLOG round 2).
-    # RAYEATER_BENCH_MPT=0 renders exact.
-    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 512)) or None
+    # per-tile LOD depth cut fed from a 384-average global step pool
+    # (gs._bin_splats: pooled depth harmonization + proportional global
+    # scaling — same static cost as the round-2 count cap, fewer
+    # artifacts). RAYEATER_BENCH_MPT=0 renders exact; the PSNR gate below
+    # prints the fidelity of whatever config runs.
+    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 384)) or None
 
     import jax.numpy as jnp
     from jax import lax
@@ -92,10 +105,32 @@ def main():
     t0 = time.perf_counter()
     img, stats = frame_fn(cloud, np.float32(0.0))
     jax.block_until_ready(img)
-    note = ("pairs dropped by the per-tile LOD cap (67 dB PSNR vs exact, "
-            "BENCHLOG)" if mpt else "buffer overflow (0 == exact)")
+    note = ("pairs dropped by the per-tile LOD depth cut"
+            if mpt else "buffer overflow (0 == exact)")
     log(f"compile+first frame: {time.perf_counter() - t0:.1f}s; "
         f"overflow_pairs={int(stats['overflow_pairs'])} = {note}")
+
+    if mpt and os.environ.get("RAYEATER_BENCH_PSNR", "1") != "0":
+        # quality gate: LOD render vs the exact render on the LAST frame
+        # of the path (historically the hardest view) — printed so every
+        # recorded bench number carries its own fidelity measurement
+        t_hard = np.float32((frames - 1) / 60.0)
+        a, _ = frame_fn(cloud, t_hard)
+
+        def exact_frame(c, t):
+            ang = rmath.radians(30.0) * t
+            eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
+                             2.5 * jnp.sin(ang)])
+            view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
+            proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
+            return render_gaussians(c, view, proj, W, H,
+                                    pairs_cap_factor=None,
+                                    interpret=interpret)
+
+        b = jax.jit(exact_frame)(cloud, t_hard)
+        mse = float(jnp.mean((a - b) ** 2))
+        log(f"LOD quality: {10 * np.log10(1.0 / max(mse, 1e-12)):.1f} dB "
+            f"PSNR vs exact on the final frame")
 
     out = jax.block_until_ready(window_fn(cloud, np.float32(0.0)))
 

@@ -65,6 +65,43 @@ def gaussian_cloud(means, scales, quats, opacities, colors,
                                   else f(sh_rest).reshape(n, -1, 3)))
 
 
+def shell_cloud(n: int, seed: int = 0, radius: float = 1.0,
+                scale_range=(0.004, 0.012)) -> GaussianCloud:
+    """Surface-like benchmark scene: n flat tangent-disk splats on a bumpy
+    sphere shell — the depth/opacity statistics of a TRAINED 3DGS
+    reconstruction (splats concentrate on surfaces; transmittance
+    saturates within a few dozen splats per pixel), unlike
+    :func:`random_cloud`'s volumetric fog, whose grazing views have
+    thousands-deep semi-transparent pixel stacks no tile-list LOD can
+    approximate (BENCHLOG round 2). The flagship bench renders this."""
+    rng = np.random.RandomState(seed)
+    # uniform directions + low-frequency radial bumps for parallax
+    v = rng.randn(n, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True).clip(1e-9)
+    bump = (0.08 * np.sin(4.0 * v[:, 0] + 1.0) * np.sin(5.0 * v[:, 1])
+            + 0.05 * np.sin(7.0 * v[:, 2]))
+    r = radius * (1.0 + bump).astype(np.float32)
+    means = v * r[:, None]
+    # tangent disks: thin along the normal
+    s_t = (scale_range[0] + rng.rand(n, 2).astype(np.float32)
+           * (scale_range[1] - scale_range[0]))
+    scales = np.concatenate([s_t, np.full((n, 1), 0.1 * scale_range[0],
+                                          np.float32)], -1)
+    # quaternion rotating +z onto the outward normal v: axis = z x v
+    z = np.array([0.0, 0.0, 1.0], np.float32)
+    axis = np.cross(np.broadcast_to(z, v.shape), v)
+    axn = np.linalg.norm(axis, axis=1, keepdims=True)
+    cosang = v[:, 2:3]
+    w = np.sqrt(np.maximum((1.0 + cosang) * 0.5, 0.0))
+    s = np.sqrt(np.maximum((1.0 - cosang) * 0.5, 0.0))
+    axis = np.where(axn > 1e-6, axis / np.maximum(axn, 1e-9),
+                    np.array([1.0, 0.0, 0.0], np.float32))
+    quats = np.concatenate([w, axis * s], -1).astype(np.float32)
+    opac = (0.55 + 0.45 * rng.rand(n)).astype(np.float32)
+    colors = (0.25 + 0.75 * rng.rand(n, 3)).astype(np.float32)
+    return gaussian_cloud(means, scales, quats, opac, colors)
+
+
 def random_cloud(n: int, seed: int = 0, extent: float = 1.0,
                  scale_range=(0.005, 0.03)) -> GaussianCloud:
     """Synthetic benchmark scene: n splats in a cube, random anisotropic

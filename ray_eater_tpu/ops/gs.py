@@ -15,10 +15,11 @@ unbuilt goal, README.md:7). TPU-first design:
    of the sorted array; scalar-prefetched per-step maps carry the owning
    tile and a block-local [lo, hi) row mask, and blocks straddling a tile
    boundary run once per adjacent tile with complementary masks. With the
-   per-tile LOD cap (``max_splats_per_tile``), only the ≤ ntiles·(mpt/128
-   + 1) blocks the steps touch are packed, via one block-granular row
-   gather. The only other data movement between sort and kernel is one
-   row gather of the (N, 12) record table into pack order.
+   LOD (``max_splats_per_tile``: a global step pool allocated by per-tile
+   need under a smoothed depth cut), only the pool's blocks are packed,
+   via one block-granular row gather. The only other data movement
+   between sort and kernel is one row gather of the (N, 12) record table
+   into pack order.
 4. **Composite** (Pallas): a 1-D grid over steps. Consecutive steps of one
    tile accumulate in a resident VMEM block (transmittance + RGB), written
    back once per tile. Per chunk: conic quadratic → alpha over the whole
@@ -488,13 +489,51 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     startc = start[:-1]
     count = start[1:] - startc                               # (ntiles,)
     if max_per_tile is not None:
-        # per-tile depth-ordered LOD: keep each tile's NEAREST
-        # max_per_tile pairs (runs are front-to-back within each tile, so
-        # the cap discards the FARTHEST splats of pathological tiles —
-        # never whole tiles)
-        kept = jnp.minimum(count, max_per_tile)
+        # LOD as a GLOBAL STEP POOL allocated by per-tile need. Two ideas:
+        #
+        # 1. A uniform "nearest max_per_tile pairs per tile" cap wastes
+        #    its static budget on inactive tiles while truncating dense
+        #    ones, and adjacent tiles truncating at different depths show
+        #    as tile-aligned bands/slivers (21.6 dB on the fog scene's
+        #    densest view, BENCHLOG). Instead each tile DESIRES its pairs
+        #    up to a depth cut: its max_per_tile-th pair's depth,
+        #    3x3-max-pooled over the tile grid so neighbors agree how
+        #    deep to composite (never below the tile's own
+        #    min(count, max_per_tile) — a tile whose content starts deep
+        #    must not be emptied by shallow neighbors), hard-capped at
+        #    4x max_per_tile.
+        # 2. The STATIC pool (cap_steps = ntiles * (max_per_tile/128 + 1)
+        #    — the same pack/step cost as the uniform cap) is shared:
+        #    when total desire exceeds it, every tile scales down
+        #    proportionally (graceful, never whole-tile loss).
+        qmask = (1 << db) - 1
+        skey_pad = (jnp.concatenate(
+            [sorted_key, jnp.full(mpad - m, jnp.int32(-1))])
+            if mpad > m else sorted_key)
+        nthr = jnp.minimum(count, max_per_tile)
+        cut_i = jnp.clip(startc + nthr - 1, 0, mpad - 1)
+        cut_qd = jnp.where(count > 0, jnp.take(skey_pad, cut_i) & qmask, 0)
+        g = cut_qd.reshape(nty, ntx)
+        gp = jnp.pad(g, 1, mode="edge")
+        pooled = jnp.max(jnp.stack(
+            [gp[i:i + nty, j:j + ntx] for i in range(3)
+             for j in range(3)]), 0).reshape(-1)
+        kend = jnp.searchsorted(
+            sorted_key, (tvec[:-1] << db) | pooled,
+            side="right").astype(jnp.int32)
+        desired = jnp.clip(jnp.maximum(nthr, kend - startc), 0,
+                           jnp.minimum(count, 4 * max_per_tile))
+        # pool sized so max_per_tile average pairs/tile always fit:
+        # sum(nsteps) <= pool_pairs/128 + 2*ntiles (block rounding + one
+        # boundary step per tile), hence the +2
+        cap_steps = ntiles * (_pad_to(max_per_tile, CHUNK) // CHUNK + 2)
+        pool_pairs = (cap_steps - 2 * ntiles) * CHUNK
+        scale = jnp.minimum(
+            1.0, pool_pairs / jnp.maximum(jnp.sum(desired), 1
+                                          ).astype(jnp.float32))
+        kept = jnp.minimum((desired.astype(jnp.float32) * scale)
+                           .astype(jnp.int32), desired)
         overflow = jnp.sum(count - kept)
-        cap_steps = ntiles * (_pad_to(max_per_tile, CHUNK) // CHUNK + 1)
         maxblk = mpad // CHUNK - 1
     else:
         # the cap never needs to exceed the (padded) emission count
@@ -525,8 +564,13 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     live_step = sid < total_steps
     step_tile = jnp.where(live_step, owner, ntiles)
     step_first = ((sid == step_off[owner]) & live_step).astype(jnp.int32)
-    orig_block = jnp.clip(first_block[owner] + (sid - step_off[owner]),
-                          0, maxblk)
+    # dead slots get DISTINCT block ids: gathers with repeated indices run
+    # ~1.7x slower than distinct ones on TPU (write-combining serializes;
+    # measured tools/exp probes, BENCHLOG round 2)
+    orig_block = jnp.where(
+        live_step,
+        jnp.clip(first_block[owner] + (sid - step_off[owner]), 0, maxblk),
+        sid % (maxblk + 1))
     blk_base = orig_block * CHUNK
     step_lo = jnp.where(live_step,
                         jnp.clip(startc[owner] - blk_base, 0, CHUNK), 0)
@@ -1031,11 +1075,15 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     ky emits fewer binning pairs (faster sort/pack) but clamps large-splat
     radii harder — ky=4 allows radius <= 23 px, ky=3 <= 15 px.
 
-    ``max_splats_per_tile`` caps each tile's depth-sorted list, discarding
-    only the *farthest* splats of over-deep tiles (graceful LOD) while
-    hard-bounding binning memory. An undersized ``pairs_cap_factor`` now
-    also degrades gracefully: every tile's chunk budget is scaled
-    proportionally (dropping farthest chunks per tile), never whole tiles.
+    ``max_splats_per_tile`` enables the LOD: a GLOBAL step pool averaging
+    max_splats_per_tile pairs per tile, allocated by per-tile need. Each
+    tile desires its depth-sorted list up to a smoothed depth cut (its
+    max_splats_per_tile-th pair's depth, 3x3-max-pooled over the tile
+    grid so neighboring tiles truncate coherently — no tile-aligned
+    banding), hard-capped at 4x; when total desire exceeds the pool every
+    tile scales down proportionally (graceful, never whole-tile loss).
+    Dropped pairs are counted in ``overflow_pairs`` and only ever the
+    FARTHEST of over-deep tiles.
 
     ``big_splat_cap`` enables TWO-LEVEL binning: splats larger than the
     KX×ky span limit (15 px radius at the defaults) render through a
