@@ -134,10 +134,10 @@ def main():
 
     out = jax.block_until_ready(window_fn(cloud, np.float32(0.0)))
 
-    # best of two measurement windows: throughput through the device
+    # best of three measurement windows: throughput through the device
     # tunnel varies with relay load, so a single window under-reports
     fps = 0.0
-    for window in range(2):
+    for window in range(3):
         t0 = time.perf_counter()
         out = jax.block_until_ready(window_fn(cloud, np.float32(window)))
         dt = time.perf_counter() - t0

@@ -672,9 +672,11 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
 
     # exclusive transmittance prefix over the splat (sublane) axis as a
     # MULTIPLICATIVE DOUBLING SCAN of (1-α): log2(C) shifted multiplies on
-    # the VPU — no transcendentals, no MXU pass. ~20% faster per chunk
-    # than the exp(Ltri @ log(1-α)) formulation (tools/exp_composite.py)
-    # and more accurate (no log clamp).
+    # the VPU — no transcendentals, no MXU pass. Beats both the
+    # exp(Ltri @ log(1-α)) formulation AND a two-level hybrid (3 VPU steps
+    # + group-level MXU extract/prefix/broadcast — measured 4.6 FPS SLOWER
+    # on the flagship, BENCHLOG round 2: the small matmuls + 16-row
+    # log/exp cost more than the 4 saved full-size multiplies).
     om = 1.0 - alpha                                     # (C, P)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _PIX), 0)
     p = om
@@ -683,6 +685,7 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
         p = p * jnp.where(ridx >= s, pltpu.roll(p, shift=s, axis=0), 1.0)
         s *= 2
     pre = jnp.where(ridx >= 1, pltpu.roll(p, shift=1, axis=0), 1.0)
+    tprod = p[CHUNK - 1:CHUNK]
     t_in = t_ref[0]                                      # (1, P)
     w = alpha * pre * t_in                               # (C, P)
 
@@ -693,7 +696,7 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     r_ref[0] = r_ref[0] + rgb[0:1]
     g_ref[0] = g_ref[0] + rgb[1:2]
     b_ref[0] = b_ref[0] + rgb[2:3]
-    t_new = t_in * p[CHUNK - 1:CHUNK]                    # full-chunk prod
+    t_new = t_in * tprod                                 # full-chunk prod
     t_ref[0] = t_new
     sat_ref[0] = (jnp.max(t_new) < _T_EPS).astype(jnp.int32)
 
