@@ -52,7 +52,7 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--static-camera", action="store_true",
                     help="config 4 (static scene) instead of flythrough")
-    ap.add_argument("--max-per-tile", type=int, default=512,
+    ap.add_argument("--max-per-tile", type=int, default=384,
                     help="per-tile LOD: keep the nearest N splats per "
                          "32x128 tile (BASELINE config 5's 'LOD culling'; "
                          "67 dB vs exact on the 1M bench scene — "

@@ -354,3 +354,38 @@ def test_ply_roundtrip(tmp_path):
                                np.asarray(cloud.opacities), atol=1e-5)
     np.testing.assert_allclose(np.asarray(loaded.colors),
                                np.asarray(cloud.colors), atol=1e-5)
+
+
+def test_lod_pool_keeps_deep_content_tiles():
+    # regression: the pooled depth cut must never empty a tile whose
+    # content simply STARTS deeper than its neighbors' cut depth (the
+    # shell-scene black-column bug, BENCHLOG round 2). Tile A holds many
+    # near splats (shallow cut); tile B holds only far splats — B must
+    # still render them.
+    view, proj = camera()
+    rng = np.random.RandomState(5)
+    # near cluster projecting into the left half, far cluster to the right
+    near = (rng.rand(600, 3).astype(np.float32) - 0.5) * np.array(
+        [0.4, 0.6, 0.05], np.float32) + np.array([-0.45, 0, -0.2],
+                                                 np.float32)
+    far = (rng.rand(40, 3).astype(np.float32) - 0.5) * np.array(
+        [0.3, 0.5, 0.05], np.float32) + np.array([0.55, 0, 0.9],
+                                                 np.float32)
+    means = np.concatenate([near, far])
+    n = means.shape[0]
+    cloud = gaussian_cloud(
+        means, np.full((n, 3), 0.05, np.float32), [[1, 0, 0, 0]] * n,
+        [0.9] * n,
+        np.concatenate([np.tile([[1, 0, 0]], (600, 1)),
+                        np.tile([[0, 1, 0]], (40, 1))]).astype(np.float32))
+    full = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                       interpret=True))
+    capped = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                         max_splats_per_tile=gs.CHUNK,
+                                         interpret=True))
+    # wherever the exact render shows the far (green) cluster, the capped
+    # render must not be black
+    green = (full[..., 1] > 0.2) & (full[..., 0] < 0.1)
+    assert green.sum() > 50, "fixture should show the far cluster"
+    assert (capped[green].max(-1) > 0.05).mean() > 0.95, \
+        "far-only tiles must not be emptied by neighbors' shallow cuts"
