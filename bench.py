@@ -29,7 +29,8 @@ def main():
     from ray_eater_tpu import rmath
     from ray_eater_tpu.models.gaussians import random_cloud, shell_cloud
 
-    from ray_eater_tpu.ops.gs import render_gaussians
+    from ray_eater_tpu.ops.gs import (num_tiles, render_gaussians,
+                                      update_lod_budget)
 
     n = int(os.environ.get("RAYEATER_BENCH_SPLATS", 1_000_000))
     frames = int(os.environ.get("RAYEATER_BENCH_FRAMES", 60))
@@ -69,11 +70,19 @@ def main():
     # artifacts). RAYEATER_BENCH_MPT=0 renders exact; the PSNR gate below
     # prints the fidelity of whatever config runs.
     mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 384)) or None
+    # TEMPORAL adaptive LOD (default on): each frame's executed-depth
+    # telemetry drives the next frame's per-tile budgets, so
+    # early-saturating tiles release step-pool capacity to deep ones —
+    # same static cost, better allocation over the flythrough.
+    temporal = bool(mpt) and (
+        os.environ.get("RAYEATER_BENCH_TEMPORAL", "1") != "0")
 
     import jax.numpy as jnp
     from jax import lax
 
-    def one_frame(c, t):
+    ntx, nty = num_tiles(W, H)
+
+    def one_frame(c, t, budget=None):
         ang = rmath.radians(30.0) * t
         eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
                          2.5 * jnp.sin(ang)])
@@ -82,10 +91,12 @@ def main():
         return render_gaussians(c, view, proj, W, H,
                                 pairs_cap_factor=capf,
                                 max_splats_per_tile=mpt,
+                                lod_budget=budget,
                                 return_stats=True,
                                 interpret=interpret)
 
     frame_fn = jax.jit(one_frame)
+    budget0 = jnp.full((ntx * nty,), mpt or 0, jnp.int32)
 
     # DEVICE-RESIDENT window: all frames of a window render in one
     # lax.fori_loop dispatch (each frame forced through the carry), the
@@ -95,11 +106,15 @@ def main():
     # == 28 ms; BENCHLOG round 2) — per-frame dispatch would tax every
     # frame with it.
     @jax.jit
-    def window_fn(c, t0):
+    def window_fn(c, t0, b0):
         def body(i, carry):
-            img, _ = one_frame(c, t0 + i.astype(jnp.float32) / 60.0)
-            return carry + img[0, 0, 0] * 1e-12
-        return lax.fori_loop(0, frames, body, t0)
+            acc, budget = carry
+            img, stats = one_frame(c, t0 + i.astype(jnp.float32) / 60.0,
+                                   budget if temporal else None)
+            nb = (update_lod_budget(stats["tile_exec"], mpt, ntx, nty)
+                  if temporal else budget)
+            return acc + img[0, 0, 0] * 1e-12, nb
+        return lax.fori_loop(0, frames, body, (t0, b0))
 
     cloud = jax.device_put(cloud)
     t0 = time.perf_counter()
@@ -110,12 +125,16 @@ def main():
     log(f"compile+first frame: {time.perf_counter() - t0:.1f}s; "
         f"overflow_pairs={int(stats['overflow_pairs'])} = {note}")
 
+    _, bconv = jax.block_until_ready(window_fn(cloud, np.float32(0.0),
+                                               budget0))
+
     if mpt and os.environ.get("RAYEATER_BENCH_PSNR", "1") != "0":
         # quality gate: LOD render vs the exact render on the LAST frame
         # of the path (historically the hardest view) — printed so every
         # recorded bench number carries its own fidelity measurement
         t_hard = np.float32((frames - 1) / 60.0)
-        a, _ = frame_fn(cloud, t_hard)
+        # use the window-converged temporal budgets for the gated frame
+        a, _ = frame_fn(cloud, t_hard, bconv if temporal else None)
 
         def exact_frame(c, t):
             ang = rmath.radians(30.0) * t
@@ -132,14 +151,14 @@ def main():
         log(f"LOD quality: {10 * np.log10(1.0 / max(mse, 1e-12)):.1f} dB "
             f"PSNR vs exact on the final frame")
 
-    out = jax.block_until_ready(window_fn(cloud, np.float32(0.0)))
 
     # best of three measurement windows: throughput through the device
     # tunnel varies with relay load, so a single window under-reports
     fps = 0.0
     for window in range(3):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(window_fn(cloud, np.float32(window)))
+        out = jax.block_until_ready(window_fn(cloud, np.float32(window),
+                                              budget0))
         dt = time.perf_counter() - t0
         fps = max(fps, frames / dt)
         log(f"window {window}: {frames} frames in {dt:.3f}s -> "

@@ -376,7 +376,8 @@ def _emit_fan(mx, my, r, valid, qd, kx_fan: int, ky_fan: int,
 def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
                 max_per_tile: int | None = None,
-                big_cap: int | None = None):
+                big_cap: int | None = None,
+                budget=None):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
@@ -510,7 +511,13 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         skey_pad = (jnp.concatenate(
             [sorted_key, jnp.full(mpad - m, jnp.int32(-1))])
             if mpad > m else sorted_key)
-        nthr = jnp.minimum(count, max_per_tile)
+        # ``budget`` (temporal adaptive LOD): per-tile desired depth from
+        # the previous frame's executed depth instead of the uniform
+        # max_per_tile — early-saturating tiles release pool capacity to
+        # tiles that genuinely need deep lists. The static pool size is
+        # still governed by max_per_tile.
+        want = max_per_tile if budget is None else budget
+        nthr = jnp.minimum(count, want)
         cut_i = jnp.clip(startc + nthr - 1, 0, mpad - 1)
         cut_qd = jnp.where(count > 0, jnp.take(skey_pad, cut_i) & qmask, 0)
         g = cut_qd.reshape(nty, ntx)
@@ -607,7 +614,7 @@ _PIX = TILE_H * TILE_W          # pixels per tile, flattened
 
 def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
                       step_lo_ref, step_hi_ref, rec_ref,
-                      r_ref, g_ref, b_ref, t_ref, sat_ref, *,
+                      r_ref, g_ref, b_ref, t_ref, e_ref, sat_ref, *,
                       ntx, ntiles):
     """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
     pixel block — no per-splat scalar loop.
@@ -633,6 +640,7 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
             g_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
             b_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
             t_ref[0] = jnp.ones((1, _PIX), jnp.float32)
+            e_ref[0] = jnp.zeros((1, 128), jnp.int32)
             sat_ref[0] = 0
 
         # early-out: once every pixel of the tile saturated (T < eps, the
@@ -641,9 +649,13 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
         # the chunk body from the T it just computed.
         @pl.when(sat_ref[0] == 0)
         def _run():
+            lo = step_lo_ref[si]
+            hi = step_hi_ref[si]
+            # executed-depth telemetry: pairs this tile actually
+            # composited before saturating (drives temporal LOD budgets)
+            e_ref[0] = e_ref[0] + (hi - lo)
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
-                             tile, ntx,
-                             step_lo_ref[si], step_hi_ref[si])
+                             tile, ntx, lo, hi)
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
@@ -702,10 +714,13 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
 
 
 def _composite_call(records, steps, nty, ntx, interpret):
-    """Returns 4 tile-flattened planes (ntiles+1, 2048): r, g, b, T.
-    Row ``ntiles`` is the sentinel dump for unused steps; use
-    :func:`_untile` to get image-shaped planes. ``steps`` is the
-    (tile, first, block, lo, hi) scalar-prefetch tuple from _bin_splats."""
+    """Returns 4 tile-flattened planes (ntiles+1, 1, _PIX): r, g, b, T,
+    plus ``exec`` (ntiles+1, 1, 128) int32 — the pairs each tile actually
+    composited before transmittance saturation (lane-replicated; rows of
+    never-visited tiles are UNINITIALIZED — mask with ``visited``). Row
+    ``ntiles`` is the sentinel dump for unused steps; use :func:`_untile`
+    for image-shaped planes. ``steps`` is the (tile, first, block, lo, hi)
+    scalar-prefetch tuple from _bin_splats."""
     ntiles = nty * ntx
     step_tile, step_first, step_block, step_lo, step_hi = steps
     nsteps = step_tile.shape[0]
@@ -722,13 +737,14 @@ def _composite_call(records, steps, nty, ntx, interpret):
                          lambda si, st, sf, sb, sl, sh: (sb[si], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, _PIX), out_map,
-                         memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec((1, 1, _PIX), out_map,
+                                memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((1, 1, 128), out_map, memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
-    out_shape = [jax.ShapeDtypeStruct((ntiles + 1, 1, _PIX),
-                                      jnp.float32)] * 4
+    out_shape = ([jax.ShapeDtypeStruct((ntiles + 1, 1, _PIX),
+                                       jnp.float32)] * 4
+                 + [jax.ShapeDtypeStruct((ntiles + 1, 1, 128), jnp.int32)])
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
@@ -977,7 +993,7 @@ def composite_diff(packed, steps, nty, ntx, interpret):
     """Differentiable composite: forward = the production Pallas kernel,
     backward = a reverse-sweep Pallas kernel (grads w.r.t. ``packed``).
     Use with the compact LOD layout for bounded checkpoint memory."""
-    return tuple(_composite_call(packed, steps, nty, ntx, interpret))
+    return tuple(_composite_call(packed, steps, nty, ntx, interpret)[:4])
 
 
 def _composite_diff_fwd(packed, steps, nty, ntx, interpret):
@@ -1061,6 +1077,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      ky: int = KY,
                      max_splats_per_tile: int | None = None,
                      big_splat_cap: int | None = None,
+                     lod_budget=None,
                      return_stats: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
@@ -1087,6 +1104,12 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     tile scales down proportionally (graceful, never whole-tile loss).
     Dropped pairs are counted in ``overflow_pairs`` and only ever the
     FARTHEST of over-deep tiles.
+
+    ``lod_budget`` (with ``max_splats_per_tile``): an (ntiles,) int32
+    per-tile desired depth for TEMPORAL adaptive LOD — feed each frame
+    :func:`update_lod_budget` of the previous frame's ``tile_exec`` stat
+    so early-saturating tiles release pool capacity to deep ones. Same
+    static cost; strictly better allocation in flythroughs.
 
     ``big_splat_cap`` enables TWO-LEVEL binning: splats larger than the
     KX×ky span limit (15 px radius at the defaults) render through a
@@ -1138,15 +1161,44 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         pack_idx, steps, visited, overflow, overflow_big = _bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, ky=ky,
-            max_per_tile=max_splats_per_tile, big_cap=big_splat_cap)
+            max_per_tile=max_splats_per_tile, big_cap=big_splat_cap,
+            budget=lod_budget)
     with jax.named_scope("gs.pack"):
         packed = _pack_records(records, pack_idx)
 
     with jax.named_scope("gs.composite"):
-        r, g, b, t = _composite_call(packed, steps, nty, ntx, interpret)
+        r, g, b, t, texec = _composite_call(packed, steps, nty, ntx,
+                                            interpret)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
     img = img[:height, :width]
     if return_stats:
+        # per-tile pairs actually composited before saturation (temporal
+        # LOD telemetry; unvisited tiles masked — their rows are
+        # uninitialized kernel memory)
+        tile_exec = jnp.where(visited, texec[:-1, 0, 0], 0)
         return img, {"overflow_pairs": overflow,
-                     "overflow_big_splats": overflow_big}
+                     "overflow_big_splats": overflow_big,
+                     "tile_exec": tile_exec}
     return img
+
+
+def num_tiles(width: int, height: int) -> tuple[int, int]:
+    """(ntx, nty) tile-grid shape for a framebuffer size."""
+    return ((width + TILE_W - 1) // TILE_W,
+            (height + TILE_H - 1) // TILE_H)
+
+
+def update_lod_budget(tile_exec, max_splats_per_tile: int,
+                      ntx: int, nty: int):
+    """Next-frame per-tile LOD budget from this frame's executed depth
+    (``tile_exec`` stat of :func:`render_gaussians`): 3x3-max-pooled over
+    the tile grid (camera motion shifts content by tiles between frames),
+    grown 1.5x + one chunk of headroom so under-budgeted tiles converge
+    up geometrically, clamped to [CHUNK, 4 * max_splats_per_tile] (the
+    hard per-tile desire cap of the pool allocator)."""
+    e = tile_exec.reshape(nty, ntx)
+    ep = jnp.pad(e, 1, mode="edge")
+    pooled = jnp.max(jnp.stack(
+        [ep[i:i + nty, j:j + ntx] for i in range(3) for j in range(3)]), 0)
+    b = (pooled.astype(jnp.float32) * 1.5).astype(jnp.int32) + CHUNK
+    return jnp.clip(b, CHUNK, 4 * max_splats_per_tile).reshape(-1)

@@ -116,7 +116,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                max_per_tile=max_splats_per_tile,
                                big_cap=big_splat_cap)
         packed = gs_ops._pack_records(records, pack_idx)
-        r_, g_, b_, t_ = gs_ops._composite_call(
+        r_, g_, b_, t_, _ = gs_ops._composite_call(
             packed, steps, nty_local, ntx, interpret)
         return gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
                                       ntx, background)  # (band_px, Wp, 3)

@@ -179,7 +179,7 @@ def test_pairs_cap_overflow_is_graceful():
         jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap)
     assert int(overflow) > 0
     rec = gs._pack_records(records, pack_idx)
-    r, g, b, t = gs._composite_call(rec, steps, nty, ntx, True)
+    r, g, b, t, _ = gs._composite_call(rec, steps, nty, ntx, True)
     vis = np.asarray(visited)
     assert np.isfinite(np.asarray(r)[:nty * ntx][vis]).all()
     # and the public API with a finite factor still renders finite images
@@ -389,3 +389,40 @@ def test_lod_pool_keeps_deep_content_tiles():
     assert green.sum() > 50, "fixture should show the far cluster"
     assert (capped[green].max(-1) > 0.05).mean() > 0.95, \
         "far-only tiles must not be emptied by neighbors' shallow cuts"
+
+
+def test_temporal_lod_budget_converges():
+    # temporal adaptive LOD: executed-depth telemetry from frame N drives
+    # frame N+1's per-tile budgets. A deep stack of OPAQUE splats
+    # saturates within a few chunks, so its executed depth (and hence the
+    # next budget) is far below the full list — and re-rendering with
+    # that tighter budget must not change the image.
+    view, proj = camera()
+    n = 600
+    means = np.zeros((n, 3), np.float32)
+    means[:, 2] = np.linspace(-0.5, 0.5, n)
+    cloud = gaussian_cloud(means, np.full((n, 3), 0.08),
+                           [[1, 0, 0, 0]] * n, [0.95] * n,
+                           np.tile([[1.0, 0.5, 0.2]], (n, 1)))
+    mpt = gs.CHUNK
+    img1, stats = render_gaussians(cloud, view, proj, W, H,
+                                   max_splats_per_tile=mpt,
+                                   return_stats=True, interpret=True)
+    ntx, nty = gs.num_tiles(W, H)
+    texec = np.asarray(stats["tile_exec"])
+    assert texec.shape == (ntx * nty,)
+    assert texec.max() > 0
+    # opaque stack: executed depth saturates far below the full count
+    assert texec.max() <= 3 * gs.CHUNK
+    budget = gs.update_lod_budget(stats["tile_exec"], mpt, ntx, nty)
+    assert budget.shape == (ntx * nty,)
+    img2 = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                       max_splats_per_tile=mpt,
+                                       lod_budget=budget, interpret=True))
+    assert np.isfinite(img2).all()
+    # the saturated core is stable under re-budgeting; fringe tiles may
+    # re-allocate the (deliberately tiny) test pool differently
+    a1, a2 = np.asarray(img1), img2
+    np.testing.assert_allclose(a1[H // 2, W // 2], a2[H // 2, W // 2],
+                               atol=1e-3)
+    assert np.abs(a1 - a2).mean() < 0.01

@@ -171,8 +171,8 @@ def main():
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
             max_per_tile=MPT)
         packed = gs._pack_records(recs, pidx)
-        r, g, b, tt = gs._composite_call(packed, steps, nty, ntx,
-                                         ctx.interpret)
+        r, g, b, tt, _ = gs._composite_call(packed, steps, nty, ntx,
+                                            ctx.interpret)
         return t + (r[0, 0, 0] + g[0, 0, 0] + b[0, 0, 0]
                     + tt[0, 0, 0]) * 1e-12
 
