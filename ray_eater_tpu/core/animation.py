@@ -55,9 +55,13 @@ def _compiled_animation(frame_fn, srgb: bool, keep: str):
         return _cache[key]
 
     def to_u8(out):
-        img = out.color if isinstance(out, Framebuffer) else out
-        h, w = img.shape[0], img.shape[1]
-        return encode_present(img, w, h, srgb)
+        if isinstance(out, Framebuffer):
+            # crop the lane-padded framebuffer to its logical extent —
+            # returning the padded width leaks a black band into saved
+            # frames (caught on 900-wide targets, which pad to 1024)
+            return encode_present(out.color, out.width, out.height, srgb)
+        h, w = out.shape[0], out.shape[1]
+        return encode_present(out, w, h, srgb)
 
     @jax.jit
     def run(ts):

@@ -9,12 +9,16 @@ vkCmdDrawIndexed + fixed-function raster + fragment dispatch
    bake each triangle into *screen-space plane equations* — two barycentric
    planes (λ0, λ1) and one depth plane — so the hot kernel evaluates three
    fused multiply-adds per triangle per pixel.
-2. **Raster kernel** (Pallas, VPU): grid over (8, 128)-pixel framebuffer
-   tiles × triangle chunks. Plane coefficients ride in SMEM; each triangle
-   is three fused multiply-adds + compares over the whole (8, 128) tile as
-   dense VPU ops, folded into the running per-pixel winner (depth LESS ==
-   running min). Culled/degenerate triangles skip via a real branch
-   (``pl.when``) costing only a scalar load. No atomics, static shapes.
+2. **Raster kernel** (Pallas, VPU): grid over (32, 128)-pixel framebuffer
+   tiles × triangle chunks (chunks right-sized to the draw). Plane
+   coefficients ride in SMEM; each triangle is three fused multiply-adds +
+   compares over the whole tile as dense VPU ops, folded into the running
+   per-pixel winner (depth LESS == running min). Culled/degenerate
+   triangles skip via a real branch (``pl.when``) costing only a scalar
+   load. No atomics, static shapes. Scenes past _BIN_MIN_TRIS post-clip
+   triangles take the BINNED path instead: per-triangle bbox → (tile,
+   column) keys → one unstable sort → per-tile chunk runs (the 3DGS
+   binning design applied to triangles; see _bin_triangles).
 3. **Deferred shade** (jnp): the kernel emits a G-buffer (depth, winning
    triangle id, barycentrics); varyings are gathered per visible pixel,
    perspective-corrected, and fed to the pipeline's ``fragment_fn`` — all
@@ -25,8 +29,11 @@ depth in [0,1], clockwise-front/back-cull (graphics_pipeline.zig:137-140),
 depth compare LESS (graphics_pipeline.zig:262), near-plane clipping
 (z_clip = 0 in homogeneous space, 1 → ≤2 triangles, exact attribute
 interpolation via clip-barycentric mixing). Known delta (documented): no
-top-left fill rule (shared edges may shade twice — harmless with blending
-off).
+top-left fill rule. NOTE this cannot cause double-blending — the deferred
+design folds every covering triangle into ONE winner per pixel per draw,
+so a shared-edge pixel shades exactly once either way; the only
+divergence from Vulkan is WHICH triangle wins the measure-zero
+edge-on-pixel-center case.
 """
 
 from __future__ import annotations
@@ -112,8 +119,14 @@ def _clip_near(tri_clip: jnp.ndarray):
     first_out = jnp.argmax(~inside, -1).astype(jnp.int32)
     rot = jnp.where(count == 1, first_in,
                     jnp.where(count == 2, (first_out + 1) % 3, 0))
-    perm = (rot[:, None] + jnp.arange(3, dtype=jnp.int32)[None]) % 3
-    v = jnp.take_along_axis(tri_clip, perm[..., None], axis=1)  # (T,3,4)
+    # rotate corners by static-permutation SELECT, not take_along_axis —
+    # XLA miscompiles broadcasted take_along_axis on these tiny shapes
+    # under jit on TPU (columns beyond the first came back zero; caught
+    # by eye on the fullscreen-quad samples, round 2)
+    r1 = tri_clip[:, (1, 2, 0)]
+    r2 = tri_clip[:, (2, 0, 1)]
+    rr = rot[:, None, None]
+    v = jnp.where(rr == 0, tri_clip, jnp.where(rr == 1, r1, r2))  # (T,3,4)
     zv = v[..., 2]
 
     def isect(a, b, za, zb):
@@ -154,9 +167,12 @@ def _clip_near(tri_clip: jnp.ndarray):
     valid_a = count >= 1
     valid_b = count == 2
     # un-rotate the barycentric columns back to original corner order:
-    # rotated corner j is original corner (rot+j)%3
-    inv = (jnp.arange(3, dtype=jnp.int32)[None] - rot[:, None]) % 3
-    unrot = lambda b: jnp.take_along_axis(b, inv[:, None, :], axis=2)
+    # output column j = rotated column (j - rot) % 3 — same static-select
+    # formulation as the rotation above
+    def unrot(b):
+        u1 = b[:, :, (2, 0, 1)]
+        u2 = b[:, :, (1, 2, 0)]
+        return jnp.where(rr == 0, b, jnp.where(rr == 1, u1, u2))
     tris = jnp.concatenate([tri_a, tri_b], 0)           # (2T, 3, 4)
     bary = jnp.concatenate([unrot(bary_a), unrot(bary_b)], 0)
     valid = jnp.concatenate([valid_a, valid_b], 0)
@@ -220,8 +236,11 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
                       jnp.minimum(jnp.minimum(y0, y1), y2),
                       jnp.maximum(jnp.maximum(y0, y1), y2),
                       jnp.arange(t2, dtype=jnp.float32)])  # (15, 2T)
-    chunk = min(CHUNK, max(_pad_to(rows.shape[1], 8), 8))
-    tpad = max(_pad_to(rows.shape[1], chunk), chunk)
+    # setup blocks stay a full CHUNK wide: narrower SMEM blocks MISCOMPILE
+    # under jit on this Mosaic toolchain (a (16, 8) block read garbage —
+    # eager worked, jit rendered black; the small-draw speed win lives in
+    # the kernel's fold-loop bound instead, see _raster_call nfold)
+    tpad = max(_pad_to(rows.shape[1], CHUNK), CHUNK)
     setup = jnp.zeros((_ROWS, tpad), jnp.float32)
     setup = setup.at[:15, :rows.shape[1]].set(rows)
     return setup, inv_w, z, bary_mix
@@ -229,7 +248,7 @@ def _triangle_setup(clip: jnp.ndarray, indices: jnp.ndarray,
 
 def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
                    l0_ref, l1_ref, *, width, height, depth_test, last_wins,
-                   chunk, less_equal=False, static_test=False):
+                   chunk, nfold, less_equal=False, static_test=False):
     """One (tile, chunk) grid step: fold CHUNK triangles into the tile.
 
     ``static_test`` models Vulkan's depth_test=on/depth_write=off: every
@@ -297,7 +316,9 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
             l0_ref[:] = jnp.where(upd, lam0, l0_ref[:])
             l1_ref[:] = jnp.where(upd, lam1, l1_ref[:])
 
-    jax.lax.fori_loop(0, chunk, fold, None)
+    # fold only the (8-padded) real triangle count — a 4-triangle draw
+    # must not pay a 128-iteration scalar loop per tile
+    jax.lax.fori_loop(0, nfold, fold, None)
 
 
 def _bin_triangles(setup, ntx: int, nty: int):
@@ -516,7 +537,8 @@ def _raster_call_binned(setup, depth_init, width, height, depth_test,
 
 
 def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
-                 interpret, less_equal=False, static_test=False):
+                 interpret, less_equal=False, static_test=False,
+                 n_tris=None):
     hp0, wp = depth_init.shape
     # tiles are TILE_H tall; pad framebuffer rows up (pad rows fail the
     # scissor test, outputs are sliced back)
@@ -525,7 +547,7 @@ def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
         depth_init = jnp.pad(depth_init, ((0, hp - hp0), (0, 0)),
                              constant_values=jnp.inf)
     tpad = setup.shape[1]
-    if tpad > _BIN_MIN_TRIS:
+    if n_tris is not None and n_tris > _BIN_MIN_TRIS:
         out = _raster_call_binned(setup, depth_init, width, height,
                                   depth_test, last_wins, interpret,
                                   less_equal=less_equal,
@@ -534,11 +556,14 @@ def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
             out = [o[:hp0] for o in out]
         return out
     chunk = min(CHUNK, tpad)
+    # single-chunk draws bound the fold loop by the real triangle count
+    nfold = (max(_pad_to(n_tris, 8), 8)
+             if (n_tris is not None and tpad == chunk) else chunk)
     grid = (hp // TILE_H, wp // TILE_W, tpad // chunk)
     kernel = functools.partial(
         _raster_kernel, width=float(width), height=float(height),
         depth_test=depth_test, last_wins=last_wins, less_equal=less_equal,
-        static_test=static_test, chunk=chunk)
+        static_test=static_test, chunk=chunk, nfold=nfold)
     tile = lambda i, j, k: (i, j)
     out = pl.pallas_call(
         kernel,
@@ -701,7 +726,7 @@ def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
             depth_test=state.depth_test, last_wins=last_wins,
             interpret=interpret,
             less_equal=depth_cmp is CompareOp.LESS_EQUAL,
-            static_test=static_test)
+            static_test=static_test, n_tris=inv_w.shape[0])
     with jax.named_scope("raster.shade"):
         return _shade(pipe, fb, gdepth, gtri, gl0, gl1, tri_vary,
                       inv_w, resources,

@@ -195,7 +195,8 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
             setup, fb_local.depth, width, band_px,
             depth_test=state.depth_test, last_wins=last_wins,
             interpret=interpret,
-            less_equal=state.depth_compare.name == "LESS_EQUAL")
+            less_equal=state.depth_compare.name == "LESS_EQUAL",
+            n_tris=inv_w.shape[0])
         out_fb = raster_ops._shade(
             pipe, fb_local, gdepth, gtri, gl0, gl1, tri_vary,
             inv_w, resources,

@@ -42,6 +42,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--out", default="/tmp/rayeater_compute_drawing")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="render all frames in one dispatch (device "
+                         "FPS) instead of presenting each frame")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -76,13 +79,14 @@ def main(argv=None):
         state=re.RasterState(depth_test=False, depth_write=False),
         name="render_quad")
 
-    @jax.jit
-    def frame_program(t):
+    def frame_program_t(t):
         fb = re.create_framebuffer(WIDTH, HEIGHT)
         uniforms = {"time": t}   # declared but unused, frag.glsl:6-9
         return re.render_mesh(pipe, quad, uniforms,
                               {"compute_image": tex}, fb,
                               interpret=interpret)
+
+    frame_program = jax.jit(frame_program_t)
 
     sc = re.Swapchain(ctx, WIDTH, HEIGHT, srgb=False)
     os.makedirs(args.out, exist_ok=True)
@@ -90,16 +94,26 @@ def main(argv=None):
     fb = frame_program(np.float32(0.0))
     ctx.wait_idle(fb.color)
 
-    t0 = time.perf_counter()
-    img = None
-    for i in range(args.frames):
-        fb = frame_program(np.float32(i / 60.0))
-        out = sc.present(fb)
-        img = out if out is not None else img
-    tail = list(sc.drain())
-    dt = time.perf_counter() - t0
-
-    last = tail[-1] if tail else img
+    if args.device_loop:
+        # whole animation as ONE dispatch (cf. basic_planes device loop):
+        # per-frame host present through the tunnel costs ~28 ms/dispatch
+        frames_u8 = re.render_animation(frame_program_t, args.frames,
+                                        srgb=False, keep="last")
+        jax.block_until_ready(frames_u8)    # warm-up compile
+        t0 = time.perf_counter()
+        last = np.asarray(jax.block_until_ready(re.render_animation(
+            frame_program_t, args.frames, srgb=False, keep="last")))
+        dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        img = None
+        for i in range(args.frames):
+            fb = frame_program(np.float32(i / 60.0))
+            out = sc.present(fb)
+            img = out if out is not None else img
+        tail = list(sc.drain())
+        dt = time.perf_counter() - t0
+        last = tail[-1] if tail else img
     save_png(os.path.join(args.out, "frame_last.png"), last)
     fps = args.frames / dt
     print(f"compute_drawing: {args.frames} frames {WIDTH}x{HEIGHT} in "
