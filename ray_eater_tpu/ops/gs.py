@@ -3,9 +3,9 @@
 The flagship pipeline (BASELINE.json north star; the reference's stated but
 unbuilt goal, README.md:7). TPU-first design:
 
-1. **Project** (jnp, dense): quats→rotations→3D covariances, EWA first-order
-   projection to screen-space conics, radius from eigenvalues — all (N,·)
-   vector math, one shot, MXU/VPU friendly.
+1. **Project**: static world covariances (hoisted out of frame loops) +
+   one fused Pallas EWA projection kernel over stacked splat planes;
+   training differentiates the identical-math jnp path.
 2. **Fused bin+sort** (XLA, no atomics): each splat emits K=KX·ky
    candidate (tile, splat) pairs keyed ``tile << db | quantized_depth``;
    ONE stable int32 sort yields per-tile runs that are front-to-back

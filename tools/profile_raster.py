@@ -119,8 +119,11 @@ def big_scene():
     m = make_mesh(pos, quads, color=col, uv=uv)
     print(f"triangles: {m.num_triangles}", flush=True)
     tex = bp.load_texture()
+    from ray_eater_tpu.core.pipeline import CullMode, RasterState
+    # double-sided: a backface-culled grid would understate the cost
     pipe = re.GraphicsPipeline(vertex_fn=re.shaders.mvp_vertex,
                                fragment_fn=re.shaders.textured_border_fragment,
+                               state=RasterState(cull_mode=CullMode.NONE),
                                name="big")
 
     def loop(body):
@@ -160,7 +163,7 @@ def big_scene():
             clip, m.indices, flat_pipe.state, W, H)
         gdepth, gtri, gl0, gl1 = raster_ops._raster_call(
             setup, fb.depth, W, H, depth_test=True, last_wins=False,
-            interpret=ctx.interpret)
+            interpret=ctx.interpret, n_tris=inv_w.shape[0])
         return t + gdepth[0, 0] * 1e-12 + gl0[0, 0] * 1e-12 \
             + gtri[0, 0].astype(jnp.float32) * 1e-12
 
