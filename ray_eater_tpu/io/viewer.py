@@ -9,10 +9,18 @@ same three capabilities the reference's glfw binding exposes.
 
 Endpoints:
 
-* ``/``        — HTML page: <img> bound to the stream + key forwarding JS
+* ``/``        — HTML page: <img> bound to the stream + input-forwarding JS
 * ``/stream``  — MJPEG: one JPEG part per presented frame
 * ``/frame``   — latest frame as a single JPEG
 * ``/input?key=K&action=down|up`` — key state (pollEvents analog)
+* ``/input?mx=X&my=Y[&btn=B&action=..][&wheel=D]`` — mouse state: cursor
+  in NORMALIZED [0,1] image coords, button downs, scroll-wheel deltas
+  (glfwGetCursorPos / mouse-button / scroll callbacks; the reference
+  forwards mouse through its pollEvents UBO, compute_drawing
+  main.zig:326-331)
+* ``/input?rw=W&rh=H`` — client viewport size: a RESIZE REQUEST the app
+  may honor by rebuilding its swapchain (framebufferSizeCallback analog;
+  the reference deferred resize, swapchain.zig:229-230)
 * ``/close``   — request shutdown (window-close analog)
 
 Typical loop (mirrors basic_planes.zig:316-350)::
@@ -36,19 +44,54 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from typing import NamedTuple
+
 from ..utils.logging import scoped
 
 _log = scoped("viewer")
 
+
+class MouseState(NamedTuple):
+    """Cursor snapshot (glfwGetCursorPos + mouse-button + scroll analogs).
+    ``x``/``y`` are NORMALIZED [0, 1] image coordinates (multiply by the
+    framebuffer extent for pixels — the stream may be scaled client-side);
+    ``buttons`` is the set of currently-held button indices (0 = left);
+    ``wheel`` is the scroll delta accumulated since the last
+    :meth:`LiveViewer.poll_mouse` (glfw scroll-callback semantics)."""
+    x: float
+    y: float
+    buttons: frozenset
+    wheel: float
+
 _INDEX_HTML = b"""<!doctype html><html><head><title>ray_eater_tpu</title>
 <style>body{margin:0;background:#111;display:flex;justify-content:center}
 img{image-rendering:pixelated;max-width:100vw;max-height:100vh}</style>
-</head><body><img src="/stream">
+</head><body><img id="v" src="/stream" draggable="false">
 <script>
-const send=(k,a)=>fetch(`/input?key=${encodeURIComponent(k)}&action=${a}`);
-window.addEventListener('keydown',e=>send(e.key,'down'));
-window.addEventListener('keyup',e=>send(e.key,'up'));
+const send=q=>fetch('/input?'+q);
+const sk=(k,a)=>send(`key=${encodeURIComponent(k)}&action=${a}`);
+window.addEventListener('keydown',e=>sk(e.key,'down'));
+window.addEventListener('keyup',e=>sk(e.key,'up'));
 window.addEventListener('beforeunload',()=>fetch('/close'));
+const v=document.getElementById('v');
+let mq=null;                       // pending mousemove, rAF-throttled
+const norm=e=>{const r=v.getBoundingClientRect();
+ return`mx=${((e.clientX-r.left)/r.width).toFixed(4)}`+
+       `&my=${((e.clientY-r.top)/r.height).toFixed(4)}`};
+v.addEventListener('mousemove',e=>{if(mq===null)
+ requestAnimationFrame(()=>{send(mq);mq=null;});mq=norm(e);});
+v.addEventListener('mousedown',e=>send(norm(e)+`&btn=${e.button}`+
+ '&action=down'));
+v.addEventListener('mouseup',e=>send(norm(e)+`&btn=${e.button}`+
+ '&action=up'));
+v.addEventListener('wheel',e=>{e.preventDefault();
+ send(norm(e)+`&wheel=${e.deltaY.toFixed(1)}`);},{passive:false});
+v.addEventListener('contextmenu',e=>e.preventDefault());
+let rt=null;const rs=()=>send(`rw=${window.innerWidth}`+
+ `&rh=${window.innerHeight}`);
+window.addEventListener('resize',()=>{clearTimeout(rt);
+ rt=setTimeout(rs,250);});
+rs();
 </script></body></html>"""
 
 _BOUNDARY = b"rayeaterframe"
@@ -80,6 +123,11 @@ class LiveViewer:
         self._frame: bytes | None = None
         self._seq = 0
         self._keys: dict[str, bool] = {}
+        self._mx = 0.5
+        self._my = 0.5
+        self._buttons: set = set()
+        self._wheel = 0.0
+        self._resize: tuple | None = None
         self._should_close = False
         self.quality = quality
         viewer = self
@@ -137,11 +185,35 @@ class LiveViewer:
                     q = parse_qs(url.query)
                     key = q.get("key", [""])[0]
                     down = q.get("action", ["down"])[0] == "down"
-                    if key:
-                        with viewer._lock:
+                    with viewer._lock:
+                        if key:
                             viewer._keys[key] = down
-                        if key == "Escape" and down:
-                            viewer._should_close = True
+                        if "mx" in q:
+                            try:
+                                viewer._mx = float(q["mx"][0])
+                                viewer._my = float(q.get("my", ["0"])[0])
+                            except ValueError:
+                                pass
+                        if "btn" in q:
+                            try:
+                                b = int(q["btn"][0])
+                                (viewer._buttons.add(b) if down
+                                 else viewer._buttons.discard(b))
+                            except ValueError:
+                                pass
+                        if "wheel" in q:
+                            try:
+                                viewer._wheel += float(q["wheel"][0])
+                            except ValueError:
+                                pass
+                        if "rw" in q:
+                            try:
+                                viewer._resize = (int(q["rw"][0]),
+                                                  int(q["rh"][0]))
+                            except (ValueError, KeyError, IndexError):
+                                pass
+                    if key == "Escape" and down:
+                        viewer._should_close = True
                     self.send_response(204)
                     self.send_header("Content-Length", "0")
                     self.end_headers()
@@ -192,6 +264,24 @@ class LiveViewer:
         """Snapshot of currently-down keys (glfw.zig pollEvents analog)."""
         with self._lock:
             return dict(self._keys)
+
+    def poll_mouse(self) -> MouseState:
+        """Cursor snapshot; the wheel accumulator resets on read (glfw
+        scroll-callback semantics — deltas since the last poll)."""
+        with self._lock:
+            st = MouseState(self._mx, self._my,
+                            frozenset(self._buttons), self._wheel)
+            self._wheel = 0.0
+            return st
+
+    def poll_resize(self) -> tuple | None:
+        """Latest client (width, height) resize request, or None; resets
+        on read so each request is honored once
+        (framebufferSizeCallback analog — swapchain.zig:229's deferred
+        recreation, implemented here via ``Swapchain.resize``)."""
+        with self._lock:
+            r, self._resize = self._resize, None
+            return r
 
     def request_close(self) -> None:
         self._should_close = True

@@ -34,10 +34,19 @@ def orbit_camera(t, radius=2.5, height=0.8, fov_deg=60.0, aspect=16 / 9):
     """Flythrough path: orbit around the scene origin. jax-traceable in t —
     call it INSIDE the jitted frame; eager per-frame camera math costs
     ~100 ms/frame in tiny device dispatches through the tunnel."""
-    import jax.numpy as jnp
     ang = rmath.radians(30.0) * t
-    eye = jnp.stack([radius * jnp.cos(ang), jnp.float32(height),
-                     radius * jnp.sin(ang)])
+    return orbit_at(ang, height, radius, fov_deg=fov_deg, aspect=aspect)
+
+
+def orbit_at(azimuth, height, radius, fov_deg=60.0, aspect=16 / 9):
+    """Orbit camera from explicit (azimuth, height, radius) state — the
+    interactive form: mouse drag steers azimuth/height, wheel zooms
+    radius (all jax-traceable scalars)."""
+    import jax.numpy as jnp
+    az = jnp.float32(azimuth)
+    eye = jnp.stack([jnp.float32(radius) * jnp.cos(az),
+                     jnp.float32(height),
+                     jnp.float32(radius) * jnp.sin(az)])
     view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
     proj = rmath.perspective(rmath.radians(fov_deg), aspect, 0.05, 50.0)
     return view, proj, eye
@@ -103,7 +112,7 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     if args.serve:
-        return _serve_live(args, frame_t, ctx, W, H)
+        return _serve_live(args, cloud, ctx, interpret)
 
     # device-resident loop: the flythrough is ONE dispatch (per-frame
     # host dispatches through a tunnel both cost ~100 ms AND report
@@ -128,30 +137,74 @@ def main(argv=None):
     return fps
 
 
-def _serve_live(args, frame_t, ctx, W, H):
+def _serve_live(args, cloud, ctx, interpret):
     """Interactive present loop: one jitted frame per iteration, egress
     through the MJPEG LiveViewer (the glfw window/pollEvents analog —
-    VERDICT round-1 gap; frame loop shape basic_planes.zig:316-350).
-    WASD nudges the orbit angle/height, Escape (or /close) exits."""
+    frame loop shape basic_planes.zig:316-350).
+
+    Camera: LEFT-DRAG orbits (azimuth + height), WHEEL zooms, WASD
+    nudges, Escape (or /close) exits. A browser-window resize rebuilds
+    the frame program at the new extent (bucketed to 64 px to bound
+    recompiles — the swapchain-recreation path the reference deferred,
+    swapchain.zig:229)."""
     import jax.numpy as jnp
 
     from ray_eater_tpu.core.swapchain import encode_present
     from ray_eater_tpu.io.viewer import LiveViewer
 
-    fj = jax.jit(lambda t: encode_present(frame_t(t), W, H))
+    def build(W, H):
+        def frame(az, hgt, rad):
+            view, proj, eye = orbit_at(az, hgt, rad, aspect=W / H)
+            img = render_gaussians(cloud, view, proj, W, H,
+                                   cam_pos=eye,
+                                   max_splats_per_tile=args.max_per_tile
+                                   or None,
+                                   pairs_cap_factor=args.cap_factor
+                                   or None,
+                                   big_splat_cap=args.big_splat_cap
+                                   or None,
+                                   interpret=interpret)
+            return encode_present(img, W, H)
+        return jax.jit(frame)
+
+    W, H = args.width, args.height
+    fj = build(W, H)
     viewer = LiveViewer(port=args.serve)
-    log.info("live viewer: http://0.0.0.0:%d/ (Escape quits)", viewer.port)
-    t, nframes, t0 = 0.0, 0, time.perf_counter()
+    log.info("live viewer: http://0.0.0.0:%d/ (drag orbits, wheel zooms, "
+             "Escape quits)", viewer.port)
+    az, hgt, rad = 0.0, 0.8, 2.5
+    lx, ly = None, None
+    nframes, t0 = 0, time.perf_counter()
     try:
         while not viewer.should_close:
             keys = viewer.poll_events()
-            dt = 1.0 / 60.0 * (0.0 if args.static_camera else 1.0)
-            if keys.get("a"):
-                dt += 0.2
-            if keys.get("d"):
-                dt -= 0.2
-            t += dt
-            viewer.present(np.asarray(fj(jnp.float32(t))))
+            ms = viewer.poll_mouse()
+            if not args.static_camera:
+                az += 1.0 / 60.0 * rmath.radians(30.0)
+            if 0 in ms.buttons:                     # left-drag orbit
+                if lx is not None:
+                    az += (ms.x - lx) * 4.0
+                    hgt = float(np.clip(hgt - (ms.y - ly) * 4.0,
+                                        -3.0, 3.0))
+                lx, ly = ms.x, ms.y
+            else:
+                lx = ly = None
+            if ms.wheel:                            # zoom
+                rad = float(np.clip(rad * (1.0 + 0.001 * ms.wheel),
+                                    0.3, 20.0))
+            az += 0.05 * (keys.get("a", 0) - keys.get("d", 0))
+            hgt += 0.05 * (keys.get("w", 0) - keys.get("s", 0))
+            rq = viewer.poll_resize()
+            if rq:
+                w2 = max(256, min(3840, rq[0] // 64 * 64))
+                h2 = max(256, min(2160, rq[1] // 64 * 64))
+                if (w2, h2) != (W, H):
+                    W, H = w2, h2
+                    log.info("resize -> %dx%d (recompiling)", W, H)
+                    fj = build(W, H)
+            viewer.present(np.asarray(fj(jnp.float32(az),
+                                         jnp.float32(hgt),
+                                         jnp.float32(rad))))
             nframes += 1
     except KeyboardInterrupt:
         pass

@@ -44,6 +44,49 @@ def test_frame_and_events_roundtrip():
         v.stop()
 
 
+def test_mouse_state_roundtrip():
+    # cursor/buttons/wheel channel (glfw mouse callbacks; the reference
+    # forwards mouse via its pollEvents UBO, compute_drawing
+    # main.zig:326-331)
+    v = LiveViewer(port=0, host="127.0.0.1")
+    try:
+        _get(v.port, "/input?mx=0.25&my=0.75&btn=0&action=down")
+        ms = v.poll_mouse()
+        assert abs(ms.x - 0.25) < 1e-6 and abs(ms.y - 0.75) < 1e-6
+        assert 0 in ms.buttons and ms.wheel == 0.0
+
+        _get(v.port, "/input?mx=0.5&my=0.5&btn=0&action=up")
+        _get(v.port, "/input?wheel=120.0")
+        _get(v.port, "/input?wheel=-40.0")
+        ms = v.poll_mouse()
+        assert 0 not in ms.buttons
+        assert abs(ms.wheel - 80.0) < 1e-6
+        assert v.poll_mouse().wheel == 0.0     # accumulator resets on read
+    finally:
+        v.stop()
+
+
+def test_resize_request_drives_swapchain_recreation():
+    # the resize channel end-to-end: client reports a new viewport, the
+    # app honors it by rebuilding the swapchain ring at the new extent
+    # (the recreation path the reference deferred, swapchain.zig:229-230)
+    import ray_eater_tpu as re
+    v = LiveViewer(port=0, host="127.0.0.1")
+    try:
+        assert v.poll_resize() is None
+        _get(v.port, "/input?rw=640&rh=480")
+        rq = v.poll_resize()
+        assert rq == (640, 480)
+        assert v.poll_resize() is None         # honored once
+
+        ctx = re.Context()
+        sc = re.Swapchain(ctx, 64, 32)
+        sc2 = sc.resize(*rq)
+        assert (sc2.width, sc2.height) == (640, 480)
+    finally:
+        v.stop()
+
+
 def test_stream_yields_parts():
     v = LiveViewer(port=0, host="127.0.0.1")
     try:
@@ -55,3 +98,69 @@ def test_stream_yields_parts():
         req.close()
     finally:
         v.stop()
+
+
+def test_gs_viewer_serve_loop_end_to_end():
+    # the interactive sample loop: drag-orbit + wheel-zoom + close, driven
+    # over the real HTTP channel against a tiny cloud (frame loop shape
+    # basic_planes.zig:316-350 with mouse, main.zig:326-331)
+    import argparse
+    import os
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from samples import gs_viewer
+
+    import ray_eater_tpu as re
+    from ray_eater_tpu.models.gaussians import random_cloud
+
+    args = argparse.Namespace(width=256, height=256, serve=0,
+                              static_camera=True, max_per_tile=0,
+                              cap_factor=0, big_splat_cap=0)
+    cloud = random_cloud(64, seed=3, extent=0.5, scale_range=(0.05, 0.1))
+    ctx = re.Context()
+
+    # monkeypatch-free driver: find the port from the viewer the sample
+    # creates by watching LiveViewer instances
+    import ray_eater_tpu.io.viewer as viewer_mod
+    created = []
+    orig = viewer_mod.LiveViewer
+
+    class Tracking(orig):
+        def __init__(self, *a, **kw):
+            kw["host"] = "127.0.0.1"
+            kw["port"] = 0
+            super().__init__(*a, **kw)
+            created.append(self)
+
+    viewer_mod.LiveViewer = Tracking
+    gs_viewer.LiveViewer = Tracking  # not imported at module scope, but safe
+
+    def drive():
+        import time as _t
+        while not created:
+            _t.sleep(0.05)
+        port = created[0].port
+        # wait for a first presented frame, then steer and close
+        for _ in range(200):
+            try:
+                s, _b = _get(port, "/frame")
+                if s == 200:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.1)
+        _get(port, "/input?mx=0.2&my=0.5&btn=0&action=down")
+        _get(port, "/input?mx=0.6&my=0.4&btn=0&action=up")
+        _get(port, "/input?wheel=-100")
+        _get(port, "/close")
+
+    th = threading.Thread(target=drive, daemon=True)
+    th.start()
+    try:
+        n = gs_viewer._serve_live(args, cloud, ctx, interpret=True)
+    finally:
+        viewer_mod.LiveViewer = orig
+    th.join(timeout=10)
+    assert n >= 1                     # at least one frame presented
