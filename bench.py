@@ -27,7 +27,8 @@ def main():
 
     import ray_eater_tpu as re
     from ray_eater_tpu import rmath
-    from ray_eater_tpu.models.gaussians import random_cloud, shell_cloud
+    from ray_eater_tpu.models.gaussians import (inria_cloud, random_cloud,
+                                                shell_cloud)
 
     from ray_eater_tpu.ops.gs import (num_tiles, render_gaussians,
                                       update_lod_budget)
@@ -48,8 +49,16 @@ def main():
     interpret = ctx.interpret
     log(f"bench: {scene} {n} splats {W}x{H} x{frames} frames on {ctx.device}")
 
+    # two-level binning budget for large splats (the inria scene's
+    # log-normal size tail needs it; harmless elsewhere). 0 disables.
+    big_cap_default = {"inria": n // 16}.get(scene, 0)
+    big_cap = int(os.environ.get("RAYEATER_BENCH_BIGCAP",
+                                 big_cap_default)) or None
+
     if scene == "shell":
         cloud = shell_cloud(n, seed=1)
+    elif scene == "inria":
+        cloud = inria_cloud(n, seed=1)
     else:
         cloud = random_cloud(n, seed=1, extent=1.0,
                              scale_range=(0.004, 0.02))
@@ -91,6 +100,7 @@ def main():
         return render_gaussians(c, view, proj, W, H,
                                 pairs_cap_factor=capf,
                                 max_splats_per_tile=mpt,
+                                big_splat_cap=big_cap,
                                 lod_budget=budget,
                                 return_stats=True,
                                 interpret=interpret)
@@ -129,13 +139,14 @@ def main():
                                                budget0))
 
     if mpt and os.environ.get("RAYEATER_BENCH_PSNR", "1") != "0":
-        # quality gate: LOD render vs the exact render on the LAST frame
-        # of the path (historically the hardest view) — printed so every
-        # recorded bench number carries its own fidelity measurement
-        t_hard = np.float32((frames - 1) / 60.0)
-        # use the window-converged temporal budgets for the gated frame
-        a, _ = frame_fn(cloud, t_hard, bconv if temporal else None)
-
+        # quality gate: LOD render vs the exact render on SAMPLED frames
+        # across the whole path — the recorded number is the WORST of
+        # them, so a regression on any mid-path view can't ship unmeasured
+        # (VERDICT round-2 weak item 7). Temporal budgets are warmed by a
+        # short device-resident lead-in ENDING at the sampled view (the
+        # production one-frame-stale shape) — reusing one window-converged
+        # state for every sample mis-matches mid-path views and under-
+        # reports quality by 40+ dB (BENCHLOG round 3).
         def exact_frame(c, t):
             ang = rmath.radians(30.0) * t
             eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
@@ -144,12 +155,36 @@ def main():
             proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
             return render_gaussians(c, view, proj, W, H,
                                     pairs_cap_factor=None,
+                                    big_splat_cap=big_cap,
                                     interpret=interpret)
 
-        b = jax.jit(exact_frame)(cloud, t_hard)
-        mse = float(jnp.mean((a - b) ** 2))
-        log(f"LOD quality: {10 * np.log10(1.0 / max(mse, 1e-12)):.1f} dB "
-            f"PSNR vs exact on the final frame")
+        exact_fn = jax.jit(exact_frame)
+        warm = int(os.environ.get("RAYEATER_BENCH_PSNR_WARMUP", 8))
+
+        @jax.jit
+        def warmed_frame(c, t):
+            if not temporal:
+                img, _ = one_frame(c, t, None)
+                return img
+            def body(i, budget):
+                _, stats = one_frame(
+                    c, t - (warm - i).astype(jnp.float32) / 60.0, budget)
+                return update_lod_budget(stats["tile_exec"], mpt, ntx, nty)
+            b = lax.fori_loop(0, warm, body, budget0)
+            img, _ = one_frame(c, t, b)
+            return img
+
+        nsamp = int(os.environ.get("RAYEATER_BENCH_PSNR_FRAMES", 6))
+        psnrs = []
+        for k in range(nsamp):
+            ts = np.float32((frames - 1) * k / (nsamp - 1) / 60.0)
+            a = warmed_frame(cloud, ts)
+            b = exact_fn(cloud, ts)
+            mse = float(jnp.mean((a - b) ** 2))
+            psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+        log("LOD quality vs exact: min %.1f dB over %d sampled frames %s"
+            % (min(psnrs), nsamp,
+               "[" + " ".join(f"{p:.1f}" for p in psnrs) + "]"))
 
 
     # best of three measurement windows: throughput through the device

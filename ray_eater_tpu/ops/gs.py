@@ -87,14 +87,24 @@ _ROWS = 12
 _PROJ_BR = int(__import__("os").environ.get("RAYEATER_PROJ_BR", "256"))
 
 
-def level1_max_radius(ky: int = KY) -> int:
+def level1_max_radius(ky: int = KY, tile_w: int = TILE_W) -> int:
     """Largest radius whose [m-r, m+r] span fits in KX×ky tiles."""
-    return min((ky - 1) * TILE_H // 2 - 1, (KX - 1) * TILE_W // 2 - 1)
+    return min((ky - 1) * TILE_H // 2 - 1, (KX - 1) * tile_w // 2 - 1)
 
 
-def level2_max_radius() -> int:
-    """Radius ceiling of the coarse KX2×KY2 fan (two-level binning)."""
-    return min((KY2 - 1) * TILE_H // 2 - 1, (KX2 - 1) * TILE_W // 2 - 1)
+def _kx2(tile_w: int) -> int:
+    """Horizontal slot count of the coarse (level-2) fan for a given tile
+    width, chosen so the level-2 radius ceiling stays vertical-bound (111
+    px at KY2=8) regardless of ``tile_w``: 3 slots at 128-wide tiles, 5 at
+    64, 8 at 32."""
+    r2v = (KY2 - 1) * TILE_H // 2 - 1
+    return -(-2 * (r2v + 1) // tile_w) + 1
+
+
+def level2_max_radius(tile_w: int = TILE_W) -> int:
+    """Radius ceiling of the coarse _kx2×KY2 fan (two-level binning)."""
+    return min((KY2 - 1) * TILE_H // 2 - 1,
+               (_kx2(tile_w) - 1) * tile_w // 2 - 1)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -340,7 +350,7 @@ def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
 
 
 def _emit_fan(mx, my, r, valid, qd, kx_fan: int, ky_fan: int,
-              ntx: int, nty: int, db: int):
+              ntx: int, nty: int, db: int, tile_w: int = TILE_W):
     """Candidate (tile << db | qdepth) keys for a kx_fan×ky_fan tile fan.
 
     Beyond the bbox test, a circle-vs-tile-rect test drops the corner
@@ -350,8 +360,8 @@ def _emit_fan(mx, my, r, valid, qd, kx_fan: int, ky_fan: int,
     streams; culled candidates hold the sentinel key."""
     ntiles = ntx * nty
     sentinel = ntiles << db
-    tx0 = jnp.floor((mx - r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
-    tx1 = jnp.floor((mx + r) / TILE_W).astype(jnp.int32).clip(0, ntx - 1)
+    tx0 = jnp.floor((mx - r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
+    tx1 = jnp.floor((mx + r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
     ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
     ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
     r2 = r * r
@@ -361,9 +371,9 @@ def _emit_fan(mx, my, r, valid, qd, kx_fan: int, ky_fan: int,
             ty = ty0 + dy
             tx = tx0 + dx
             ok = valid & (ty <= ty1) & (tx <= tx1)
-            rx0 = (tx * TILE_W).astype(jnp.float32)
+            rx0 = (tx * tile_w).astype(jnp.float32)
             ry0 = (ty * TILE_H).astype(jnp.float32)
-            ddx = jnp.maximum(jnp.maximum(rx0 - mx, mx - (rx0 + TILE_W)),
+            ddx = jnp.maximum(jnp.maximum(rx0 - mx, mx - (rx0 + tile_w)),
                               0.0)
             ddy = jnp.maximum(jnp.maximum(ry0 - my, my - (ry0 + TILE_H)),
                               0.0)
@@ -373,11 +383,90 @@ def _emit_fan(mx, my, r, valid, qd, kx_fan: int, ky_fan: int,
     return keys
 
 
+# ---------------------------------------------------------------------------
+# LOD tail proxy: when the per-tile LOD truncates a depth-sorted list, the
+# dropped tail is approximated as a HOMOGENEOUS SLAB per tile instead of
+# vanishing. Per pair we carry a quantized "average alpha over the tile"
+# aux payload through the binning sort (order-independent sums need no
+# post-sort gather — the pack-gather wall, BENCHLOG item 1), take
+# per-tile segment sums of the dropped range via one cumsum + boundary
+# takes, and composite the slab behind the kept list through the
+# per-pixel residual transmittance (bilinearly smoothed across tiles).
+# The grazing fog views that broke the round-2 quality gate (24 dB) are
+# thousands-deep stacks whose tail is spatially smooth — exactly the
+# regime where a homogeneous-medium approximation is accurate.
+# ---------------------------------------------------------------------------
+
+#: aux quantization: -log1p(-alpha_eff) in 15 bits over [0, _TAIL_LA_MAX],
+#: RGB as 5:6:5 in the low 16 bits
+_TAIL_LA_MAX = 4.0
+
+
+def _pack_tail_aux(alpha_full, colors, n_pairs,
+                   pix: int = TILE_H * TILE_W):
+    """Per-splat packed aux: alpha_full = op * 2π/sqrt(det(conic)) (the
+    Gaussian's total alpha integral in px²), split evenly among its
+    ``n_pairs`` emitted tiles and averaged over the tile area ``pix``."""
+    a_eff = jnp.clip(alpha_full
+                     / (pix * jnp.maximum(n_pairs, 1).astype(jnp.float32)),
+                     0.0, 0.98)
+    la = -jnp.log1p(-a_eff)
+    # sqrt-domain quantization: typical fog a_eff is 1e-4..1e-2 — linear
+    # 15-bit steps of 1.2e-4 would carry 30%+ relative error there, sqrt
+    # steps stay <1% across the whole range
+    q = jnp.clip((jnp.sqrt(la / _TAIL_LA_MAX) * 32767.0 + 0.5)
+                 .astype(jnp.int32), 0, 32767)
+    c = jnp.clip(colors, 0.0, 1.0)
+    r5 = (c[:, 0] * 31.0 + 0.5).astype(jnp.int32)
+    g6 = (c[:, 1] * 63.0 + 0.5).astype(jnp.int32)
+    b5 = (c[:, 2] * 31.0 + 0.5).astype(jnp.int32)
+    return (q << 16) | (r5 << 11) | (g6 << 5) | b5
+
+
+_TAIL_BS = 512   # tail-sum block size
+
+
+def _tail_sums(aux_sorted, lo, hi):
+    """Order-independent homogeneous-slab sums over pair ranges [lo, hi)
+    of the sorted array: returns (S_la, S_la*r, S_la*g, S_la*b) each
+    (ntiles,). ``aux_sorted`` is the aux payload in sorted-pair order.
+
+    A full cumsum at pair scale costs ~7 ms on v5e (tools/exp_gather.py);
+    instead: per-block partial sums (one fused sweep) + a tiny exclusive
+    block cumsum + masked remainder rows gathered only at the 2·ntiles
+    boundary positions."""
+    sq = ((aux_sorted >> 16) & 0x7fff).astype(jnp.float32) * (1.0 / 32767.0)
+    la = sq * sq * _TAIL_LA_MAX
+    cr = ((aux_sorted >> 11) & 31).astype(jnp.float32) * (1.0 / 31.0)
+    cg = ((aux_sorted >> 5) & 63).astype(jnp.float32) * (1.0 / 63.0)
+    cb = (aux_sorted & 31).astype(jnp.float32) * (1.0 / 31.0)
+    m = aux_sorted.shape[0]
+    bs = _TAIL_BS
+    mb = _pad_to(m, bs)
+    stack = jnp.stack([la, la * cr, la * cg, la * cb])      # (4, m)
+    if mb > m:
+        stack = jnp.concatenate(
+            [stack, jnp.zeros((4, mb - m), jnp.float32)], 1)
+    blocks = stack.reshape(4, mb // bs, bs)
+    cumblk = jnp.concatenate(
+        [jnp.zeros((4, 1), jnp.float32),
+         jnp.cumsum(blocks.sum(-1), axis=1)], 1)            # exclusive
+
+    def s_excl(p):                                          # (ntiles,)
+        rows = jnp.take(blocks, p // bs, axis=1)            # (4, nt, bs)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+                < (p % bs)[:, None])
+        part = jnp.sum(rows * mask[None], -1)               # (4, nt)
+        return jnp.take(cumblk, p // bs, axis=1) + part
+
+    return s_excl(hi) - s_excl(lo)
+
+
 def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
                 max_per_tile: int | None = None,
                 big_cap: int | None = None,
-                budget=None):
+                budget=None, tail=None, tile_w: int = TILE_W):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
@@ -413,10 +502,16 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     of such splats per frame (overflowing ones are dropped entirely and
     counted).
 
+    ``tail=(alpha_full (N,), colors (N, 3))`` enables the LOD tail proxy
+    (see module comment above :func:`_pack_tail_aux`): per-pair quantized
+    slab aux rides the sort as one extra int32 payload, and the pairs the
+    LOD drops are summed per tile into a homogeneous slab.
+
     Returns (pack_idx (CAP,) int32 splat indices, steps — the
     (tile, first, block, lo, hi) scalar-prefetch tuple, visited (ntiles,)
     bool, overflow (scalar, in pairs), overflow_big (scalar: large splats
-    beyond big_cap))."""
+    beyond big_cap), tail_slab — None, or (tail_a (ntiles,),
+    tail_rgb (ntiles, 3)) when ``tail`` is given)."""
     n = mx.shape[0]
     ntiles = ntx * nty
     r = rad.astype(jnp.float32)
@@ -438,10 +533,16 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
 
     # level-1 fan: splats within the KX×ky span limit (all splats when
     # two-level binning is off — projection already clamped their radii)
-    r1 = float(level1_max_radius(ky))
+    r1 = float(level1_max_radius(ky, tile_w))
     small = valid if big_cap is None else valid & (r <= r1)
-    keys = _emit_fan(mx, my, r, small, qd, KX, ky, ntx, nty, db)
+    keys = _emit_fan(mx, my, r, small, qd, KX, ky, ntx, nty, db, tile_w)
     ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+    if tail is not None:
+        sent1 = (ntx * nty) << db
+        n_pairs = sum((k != sent1).astype(jnp.int32) for k in keys)
+        aux_splat = _pack_tail_aux(tail[0], tail[1], n_pairs,
+                                   TILE_H * tile_w)
+        auxs = [jnp.tile(aux_splat, len(keys))]
     if big_cap is not None:
         # level-2 (coarse) fan: the budgeted LARGE-splat subset. Their
         # indices compact via cumsum + searchsorted (scatter-free), their
@@ -458,10 +559,16 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         bs = jnp.take(side, bidx, axis=0)               # (big_cap, 4)
         bvalid = slot < nbig
         bkeys = _emit_fan(bs[:, 0], bs[:, 1], bs[:, 2], bvalid,
-                          bs[:, 3].astype(jnp.int32), KX2, KY2,
-                          ntx, nty, db)
+                          bs[:, 3].astype(jnp.int32), _kx2(tile_w), KY2,
+                          ntx, nty, db, tile_w)
         keys += bkeys
         ids.append(jnp.tile(bidx, len(bkeys)))
+        if tail is not None:
+            np_big = sum((k != sent1).astype(jnp.int32) for k in bkeys)
+            aux_big = _pack_tail_aux(jnp.take(tail[0], bidx),
+                                     jnp.take(tail[1], bidx, axis=0),
+                                     np_big, TILE_H * tile_w)
+            auxs.append(jnp.tile(aux_big, len(bkeys)))
     else:
         overflow_big = jnp.zeros((), jnp.int32)
     # concatenated stream order (contiguous blocks), NOT interleaved:
@@ -476,13 +583,24 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     # pack gather below needs no permutation indirection. UNSTABLE is
     # ~1.8x faster (8 vs 14 ms at 6M on v5e, tools/exp_sort.py) — ties
     # (same tile, same quantized depth: ~2^-21 of the depth range)
-    # composite in arbitrary but deterministic order.
-    sorted_key, sorted_splat = jax.lax.sort(
-        (key_flat, splat_of_pair), num_keys=1, is_stable=False)
+    # composite in arbitrary but deterministic order. The tail-proxy aux
+    # rides as ONE extra payload (sorting is far cheaper than any
+    # post-sort per-pair gather, tools/exp_gather.py).
+    sorted_aux = None
+    if tail is not None:
+        sorted_key, sorted_splat, sorted_aux = jax.lax.sort(
+            (key_flat, splat_of_pair, jnp.concatenate(auxs)),
+            num_keys=1, is_stable=False)
+    else:
+        sorted_key, sorted_splat = jax.lax.sort(
+            (key_flat, splat_of_pair), num_keys=1, is_stable=False)
     mpad = _pad_to(m, CHUNK)
     if mpad > m:
         sorted_splat = jnp.concatenate(
             [sorted_splat, jnp.zeros(mpad - m, jnp.int32)])
+        if sorted_aux is not None:
+            sorted_aux = jnp.concatenate(
+                [sorted_aux, jnp.zeros(mpad - m, jnp.int32)])
 
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_key, tvec << db,
@@ -599,7 +717,16 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
     steps = (step_tile, step_first, step_block, step_lo, step_hi)
     visited = kept > 0                                       # (ntiles,)
-    return pack_idx, steps, visited, overflow, overflow_big
+    tail_slab = None
+    if tail is not None:
+        # homogeneous-slab sums over each tile's DROPPED range
+        # [startc+kept, start[t+1]) — LOD depth-cut drops and positional
+        # cap drops alike. tail_la = per-tile optical thickness
+        # Σ −log1p(−α_eff); tail_rgb = energy-weighted mean color.
+        s = _tail_sums(sorted_aux, startc + kept, start[1:])
+        tail_rgb = (s[1:4] / jnp.maximum(s[0:1], 1e-9)).T    # (ntiles, 3)
+        tail_slab = (s[0], tail_rgb)
+    return pack_idx, steps, visited, overflow, overflow_big, tail_slab
 
 
 def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
@@ -615,7 +742,7 @@ _PIX = TILE_H * TILE_W          # pixels per tile, flattened
 def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
                       step_lo_ref, step_hi_ref, rec_ref,
                       r_ref, g_ref, b_ref, t_ref, e_ref, sat_ref, *,
-                      ntx, ntiles):
+                      ntx, ntiles, tile_w):
     """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
     pixel block — no per-splat scalar loop.
 
@@ -631,15 +758,16 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
     """
     si = pl.program_id(0)
     tile = step_tile_ref[si]
+    pix = TILE_H * tile_w
 
     @pl.when(tile < ntiles)
     def _():
         @pl.when(step_first_ref[si] == 1)
         def _init():
-            r_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
-            g_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
-            b_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
-            t_ref[0] = jnp.ones((1, _PIX), jnp.float32)
+            r_ref[0] = jnp.zeros((1, pix), jnp.float32)
+            g_ref[0] = jnp.zeros((1, pix), jnp.float32)
+            b_ref[0] = jnp.zeros((1, pix), jnp.float32)
+            t_ref[0] = jnp.ones((1, pix), jnp.float32)
             e_ref[0] = jnp.zeros((1, 128), jnp.int32)
             sat_ref[0] = 0
 
@@ -655,18 +783,20 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
             # composited before saturating (drives temporal LOD budgets)
             e_ref[0] = e_ref[0] + (hi - lo)
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
-                             tile, ntx, lo, hi)
+                             tile, ntx, lo, hi, tile_w)
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
-                     ntx, lo, hi):
+                     ntx, lo, hi, tile_w=TILE_W):
+    pix = TILE_H * tile_w
+    shift = tile_w.bit_length() - 1          # tile_w is a power of two
     ty0 = (tile // ntx) * TILE_H
-    tx0 = (tile % ntx) * TILE_W
-    # flat pixel index → (x, y) within the tile (TILE_W is 2^7)
-    i = jax.lax.broadcasted_iota(jnp.int32, (1, _PIX), 1)
-    px = (jax.lax.bitwise_and(i, TILE_W - 1) + tx0
+    tx0 = (tile % ntx) * tile_w
+    # flat pixel index → (x, y) within the tile
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    px = (jax.lax.bitwise_and(i, tile_w - 1) + tx0
           ).astype(jnp.float32) + 0.5
-    py = (jax.lax.shift_right_logical(i, 7) + ty0
+    py = (jax.lax.shift_right_logical(i, shift) + ty0
           ).astype(jnp.float32) + 0.5
 
     col = lambda c: rec_ref[:, c:c + 1]             # (C, 1)
@@ -690,7 +820,7 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     # on the flagship, BENCHLOG round 2: the small matmuls + 16-row
     # log/exp cost more than the 4 saved full-size multiplies).
     om = 1.0 - alpha                                     # (C, P)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _PIX), 0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, pix), 0)
     p = om
     s = 1
     while s < CHUNK:
@@ -713,7 +843,8 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     sat_ref[0] = (jnp.max(t_new) < _T_EPS).astype(jnp.int32)
 
 
-def _composite_call(records, steps, nty, ntx, interpret):
+def _composite_call(records, steps, nty, ntx, interpret,
+                    tile_w: int = TILE_W):
     """Returns 4 tile-flattened planes (ntiles+1, 1, _PIX): r, g, b, T,
     plus ``exec`` (ntiles+1, 1, 128) int32 — the pairs each tile actually
     composited before transmittance saturation (lane-replicated; rows of
@@ -722,9 +853,11 @@ def _composite_call(records, steps, nty, ntx, interpret):
     for image-shaped planes. ``steps`` is the (tile, first, block, lo, hi)
     scalar-prefetch tuple from _bin_splats."""
     ntiles = nty * ntx
+    pix = TILE_H * tile_w
     step_tile, step_first, step_block, step_lo, step_hi = steps
     nsteps = step_tile.shape[0]
-    kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles)
+    kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles,
+                               tile_w=tile_w)
 
     def out_map(si, st, sf, sb, sl, sh):
         return (jnp.minimum(st[si], ntiles), 0, 0)  # sentinel → extra row
@@ -737,12 +870,12 @@ def _composite_call(records, steps, nty, ntx, interpret):
                          lambda si, st, sf, sb, sl, sh: (sb[si], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, 1, _PIX), out_map,
+        out_specs=[pl.BlockSpec((1, 1, pix), out_map,
                                 memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec((1, 1, 128), out_map, memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
-    out_shape = ([jax.ShapeDtypeStruct((ntiles + 1, 1, _PIX),
+    out_shape = ([jax.ShapeDtypeStruct((ntiles + 1, 1, pix),
                                        jnp.float32)] * 4
                  + [jax.ShapeDtypeStruct((ntiles + 1, 1, 128), jnp.int32)])
     return pl.pallas_call(
@@ -769,19 +902,20 @@ def _composite_call(records, steps, nty, ntx, interpret):
 def _composite_kernel_ckpt(step_tile_ref, step_first_ref, step_block_ref,
                            step_lo_ref, step_hi_ref, rec_ref,
                            r_ref, g_ref, b_ref, t_ref, tck_ref, sat_ref, *,
-                           ntx, ntiles):
+                           ntx, ntiles, tile_w):
     """Forward kernel + per-step entry-T checkpoint (training mode)."""
     si = pl.program_id(0)
     tile = step_tile_ref[si]
+    pix = TILE_H * tile_w
 
     @pl.when(tile < ntiles)
     def _():
         @pl.when(step_first_ref[si] == 1)
         def _init():
-            r_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
-            g_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
-            b_ref[0] = jnp.zeros((1, _PIX), jnp.float32)
-            t_ref[0] = jnp.ones((1, _PIX), jnp.float32)
+            r_ref[0] = jnp.zeros((1, pix), jnp.float32)
+            g_ref[0] = jnp.zeros((1, pix), jnp.float32)
+            b_ref[0] = jnp.zeros((1, pix), jnp.float32)
+            t_ref[0] = jnp.ones((1, pix), jnp.float32)
             sat_ref[0] = 0
 
         tck_ref[0] = t_ref[0]          # transmittance at chunk ENTRY
@@ -790,16 +924,18 @@ def _composite_kernel_ckpt(step_tile_ref, step_first_ref, step_block_ref,
         def _run():
             _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
                              tile, ntx,
-                             step_lo_ref[si], step_hi_ref[si])
+                             step_lo_ref[si], step_hi_ref[si], tile_w)
 
 
-def _composite_call_ckpt(records, steps, nty, ntx, interpret):
+def _composite_call_ckpt(records, steps, nty, ntx, interpret,
+                         tile_w: int = TILE_W):
     """Forward planes + (nsteps, 1, PIX) entry-T checkpoints."""
     ntiles = nty * ntx
+    pix = TILE_H * tile_w
     step_tile, step_first, step_block, step_lo, step_hi = steps
     nsteps = step_tile.shape[0]
     kernel = functools.partial(_composite_kernel_ckpt, ntx=ntx,
-                               ntiles=ntiles)
+                               ntiles=ntiles, tile_w=tile_w)
 
     def out_map(si, st, sf, sb, sl, sh):
         return (jnp.minimum(st[si], ntiles), 0, 0)
@@ -812,16 +948,16 @@ def _composite_call_ckpt(records, steps, nty, ntx, interpret):
                          lambda si, st, sf, sb, sl, sh: (sb[si], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, 1, _PIX), out_map,
+        out_specs=[pl.BlockSpec((1, 1, pix), out_map,
                                 memory_space=pltpu.VMEM)] * 4
-        + [pl.BlockSpec((1, 1, _PIX),
+        + [pl.BlockSpec((1, 1, pix),
                         lambda si, st, sf, sb, sl, sh: (si, 0, 0),
                         memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
-    out_shape = ([jax.ShapeDtypeStruct((ntiles + 1, 1, _PIX),
+    out_shape = ([jax.ShapeDtypeStruct((ntiles + 1, 1, pix),
                                        jnp.float32)] * 4
-                 + [jax.ShapeDtypeStruct((nsteps, 1, _PIX), jnp.float32)])
+                 + [jax.ShapeDtypeStruct((nsteps, 1, pix), jnp.float32)])
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
@@ -831,7 +967,7 @@ def _composite_call_ckpt(records, steps, nty, ntx, interpret):
 def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
                           newblk_ref, rsi_ref, rec_ref, tck_ref, tfin_ref,
                           dr_ref, dg_ref, db_ref, dtc_ref,
-                          dpk_ref, sb_scr, *, ntx, ntiles):
+                          dpk_ref, sb_scr, *, ntx, ntiles, tile_w):
     """Reverse-sweep gradient of the composite w.r.t. packed records.
 
     Standard 3DGS backward: dL/dc_i = w_i·dC; dL/dα_i = (c_i·dC)·T_i −
@@ -841,6 +977,7 @@ def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
     scratch, and T_i comes from the forward's entry-T checkpoint."""
     si = pl.program_id(0)
     tile = rt_ref[si]
+    pix = TILE_H * tile_w
 
     @pl.when(newblk_ref[si] == 1)
     def _zero():
@@ -850,7 +987,7 @@ def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
     def _():
         @pl.when(rfirst_ref[si] == 1)
         def _init():
-            sb_scr[...] = jnp.zeros((1, _PIX), jnp.float32)
+            sb_scr[...] = jnp.zeros((1, pix), jnp.float32)
 
         t_entry = tck_ref[0]                             # (1, P)
         # forward skipped this chunk iff its entry T was saturated
@@ -859,7 +996,7 @@ def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
             lo = rl_ref[si]
             hi = rh_ref[si]
             ty0 = (tile // ntx) * TILE_H
-            tx0 = (tile % ntx) * TILE_W
+            tx0 = (tile % ntx) * tile_w
             rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
             live = (rows >= lo) & (rows < hi)
             col = lambda c: rec_ref[:, c:c + 1]
@@ -873,13 +1010,14 @@ def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
             # pixel axis processed in SPAN-wide slices: the full set of
             # (C, PIX) f32 temporaries (~13 of them) would need ~27 MB of
             # scoped VMEM at PIX=4096 — over the 16 MB limit
-            span = 1024
-            for s0 in range(0, _PIX, span):
+            span = min(1024, pix)
+            for s0 in range(0, pix, span):
                 sl_px = slice(s0, s0 + span)
                 i = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1) + s0
-                px = (jax.lax.bitwise_and(i, TILE_W - 1) + tx0
+                px = (jax.lax.bitwise_and(i, tile_w - 1) + tx0
                       ).astype(jnp.float32) + 0.5
-                py = (jax.lax.shift_right_logical(i, 7) + ty0
+                py = (jax.lax.shift_right_logical(i, tile_w.bit_length()
+                                                  - 1) + ty0
                       ).astype(jnp.float32) + 0.5
                 dx = px - col(_MX)                       # (C, S)
                 dy = py - col(_MY)
@@ -943,8 +1081,9 @@ def _composite_bwd_kernel(rt_ref, rfirst_ref, rb_ref, rl_ref, rh_ref,
 
 
 def _composite_bwd_call(packed, steps, t_plane, tck, dr, dg, db, dtc,
-                        nty, ntx, interpret):
+                        nty, ntx, interpret, tile_w: int = TILE_W):
     ntiles = nty * ntx
+    pix = TILE_H * tile_w
     st, sf, sb, sl, sh = steps
     ns = st.shape[0]
     rev = lambda a: a[::-1]
@@ -955,7 +1094,7 @@ def _composite_bwd_call(packed, steps, t_plane, tck, dr, dg, db, dtc,
     newblk = jnp.concatenate(
         [jnp.ones(1, jnp.int32), (rb[1:] != rb[:-1]).astype(jnp.int32)])
     kernel = functools.partial(_composite_bwd_kernel, ntx=ntx,
-                               ntiles=ntiles)
+                               ntiles=ntiles, tile_w=tile_w)
 
     def tile_map(si, rt_, rf_, rb_, rl_, rh_, nb_, ri_):
         return (jnp.minimum(rt_[si], ntiles), 0, 0)
@@ -967,18 +1106,18 @@ def _composite_bwd_call(packed, steps, t_plane, tck, dr, dg, db, dtc,
             pl.BlockSpec((CHUNK, _ROWS),
                          lambda si, rt_, rf_, rb_, rl_, rh_, nb_, ri_:
                          (rb_[si], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _PIX),
+            pl.BlockSpec((1, 1, pix),
                          lambda si, rt_, rf_, rb_, rl_, rh_, nb_, ri_:
                          (ri_[si], 0, 0), memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((1, 1, _PIX), tile_map,
+        ] + [pl.BlockSpec((1, 1, pix), tile_map,
                           memory_space=pltpu.VMEM)] * 4
-        + [pl.BlockSpec((1, 1, _PIX), tile_map,
+        + [pl.BlockSpec((1, 1, pix), tile_map,
                         memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((CHUNK, _ROWS),
                          lambda si, rt_, rf_, rb_, rl_, rh_, nb_, ri_:
                          (rb_[si], 0), memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((1, _PIX), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, pix), jnp.float32)],
     )
     out_shape = jax.ShapeDtypeStruct(packed.shape, jnp.float32)
     return pl.pallas_call(
@@ -988,25 +1127,27 @@ def _composite_bwd_call(packed, steps, t_plane, tck, dr, dg, db, dtc,
       packed, tck, t_plane, dr, dg, db, dtc)[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def composite_diff(packed, steps, nty, ntx, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def composite_diff(packed, steps, nty, ntx, interpret, tile_w=TILE_W):
     """Differentiable composite: forward = the production Pallas kernel,
     backward = a reverse-sweep Pallas kernel (grads w.r.t. ``packed``).
     Use with the compact LOD layout for bounded checkpoint memory."""
-    return tuple(_composite_call(packed, steps, nty, ntx, interpret)[:4])
+    return tuple(_composite_call(packed, steps, nty, ntx, interpret,
+                                 tile_w)[:4])
 
 
-def _composite_diff_fwd(packed, steps, nty, ntx, interpret):
+def _composite_diff_fwd(packed, steps, nty, ntx, interpret, tile_w=TILE_W):
     r, g, b, t, tck = _composite_call_ckpt(packed, steps, nty, ntx,
-                                           interpret)
+                                           interpret, tile_w)
     return (r, g, b, t), (packed, steps, t, tck)
 
 
-def _composite_diff_bwd(nty, ntx, interpret, res, cts):
+def _composite_diff_bwd(nty, ntx, interpret, tile_w, res, cts):
     packed, steps, t_plane, tck = res
     dr, dg, db, dtc = cts
     d_packed = _composite_bwd_call(packed, steps, t_plane, tck,
-                                   dr, dg, db, dtc, nty, ntx, interpret)
+                                   dr, dg, db, dtc, nty, ntx, interpret,
+                                   tile_w)
     zeros_like_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return d_packed, tuple(zeros_like_int(s) for s in steps)
 
@@ -1019,7 +1160,8 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
                           background=(0.0, 0.0, 0.0),
                           max_splats_per_tile: int = 256,
                           ky: int = KY,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          tile_w: int = TILE_W) -> jnp.ndarray:
     """Differentiable Pallas render — the 1M-splat training path.
 
     Same pipeline as :func:`render_gaussians` (compact LOD layout
@@ -1034,40 +1176,74 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
                            view, proj, width, height, ky=ky)
     records = _make_records(ps)
     sg = jax.lax.stop_gradient
-    ntx = _pad_to(width, TILE_W) // TILE_W
+    ntx = _pad_to(width, tile_w) // tile_w
     nty = _pad_to(height, TILE_H) // TILE_H
     cap_pairs = _pad_to(means.shape[0] * KX * ky + ntx * nty * CHUNK,
                         CHUNK)
-    pack_idx, steps, visited, _, _ = _bin_splats(
+    pack_idx, steps, visited, _, _, _ = _bin_splats(
         sg(ps.mean2d[:, 0]), sg(ps.mean2d[:, 1]), ps.radius,
         jnp.isfinite(sg(ps.depth)), sg(ps.depth), ntx, nty, cap_pairs,
-        ky=ky, max_per_tile=max_splats_per_tile)
+        ky=ky, max_per_tile=max_splats_per_tile, tile_w=tile_w)
     packed = jnp.take(records, pack_idx, axis=0)
-    r, g, b, t = composite_diff(packed, steps, nty, ntx, interpret)
-    img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
+    r, g, b, t = composite_diff(packed, steps, nty, ntx, interpret,
+                                tile_w)
+    img = finalize_planes(r, g, b, t, visited, nty, ntx, background,
+                          tile_w=tile_w)
     return img[:height, :width]
 
 
 def finalize_planes(r, g, b, t, visited, nty: int, ntx: int,
-                    background) -> jnp.ndarray:
+                    background, tail_slab=None,
+                    tile_w: int = TILE_W) -> jnp.ndarray:
     """Shared composite tail: mask never-visited tiles (garbage blocks) to
-    background, untile the flat planes, and blend the background through
-    the remaining transmittance. Used by both the single-device and the
-    sharded render paths."""
+    background, untile the flat planes, composite the LOD tail slab (if
+    any) behind the kept lists, and blend the background through the
+    remaining transmittance. Used by both the single-device and the
+    sharded render paths.
+
+    ``tail_slab``: (tail_la (ntiles,) optical thickness, tail_rgb
+    (ntiles, 3) mean color) — per-tile homogeneous proxy of LOD-dropped
+    pairs (see :func:`_pack_tail_aux`). The per-tile fields are
+    bilinearly interpolated across tile centers (no tile-aligned seams)
+    and the thickness is MODULATED per pixel by the head's occupancy
+    pattern (1−T normalized to its smoothed local mean): in smooth media
+    the dropped tail is distributed like the kept head, so tiles only
+    partially covered by the scene don't get a square halo of slab over
+    their empty pixels. Tile-mean energy is conserved where the head has
+    signal; tiles with nearly no head signal fall back to the uniform
+    slab."""
     vis = jnp.concatenate([visited, jnp.zeros((1,), bool)])[:, None, None]
     rgbt = [jnp.where(vis, p, 0.0 if i < 3 else 1.0)
             for i, p in enumerate((r, g, b, t))]
-    planes = [_untile(p, nty, ntx) for p in rgbt]
+    planes = [_untile(p, nty, ntx, tile_w) for p in rgbt]
     rgb = jnp.stack(planes[:3], -1)
+    tt = planes[3]
     bg = jnp.asarray(background, jnp.float32)
-    return rgb + planes[3][..., None] * bg
+    if tail_slab is not None:
+        tail_la, tail_rgb = tail_slab
+        hw = (nty * TILE_H, ntx * tile_w)
+        la_img = jax.image.resize(tail_la.reshape(nty, ntx), hw,
+                                  "bilinear")
+        c_img = jax.image.resize(tail_rgb.reshape(nty, ntx, 3),
+                                 (*hw, 3), "bilinear")
+        occ = 1.0 - tt                                    # head occupancy
+        occ_mean = jnp.mean((1.0 - rgbt[3])[:-1, 0, :],
+                            axis=-1)                      # (ntiles,)
+        om_img = jax.image.resize(occ_mean.reshape(nty, ntx), hw,
+                                  "bilinear")
+        w = jnp.clip(occ / jnp.maximum(om_img, 1e-3), 0.0, 3.0)
+        a_img = 1.0 - jnp.exp(-la_img * w)
+        rgb = rgb + (tt * a_img)[..., None] * c_img
+        tt = tt * (1.0 - a_img)
+    return rgb + tt[..., None] * bg
 
 
-def _untile(plane: jnp.ndarray, nty: int, ntx: int) -> jnp.ndarray:
-    """(ntiles+1, 1, 2048) tile-flattened → (nty*16, ntx*128) image plane
-    (one cheap XLA transpose in HBM)."""
-    t = plane[:nty * ntx].reshape(nty, ntx, TILE_H, TILE_W)
-    return t.transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * TILE_W)
+def _untile(plane: jnp.ndarray, nty: int, ntx: int,
+            tile_w: int = TILE_W) -> jnp.ndarray:
+    """(ntiles+1, 1, PIX) tile-flattened → (nty*TILE_H, ntx*tile_w) image
+    plane (one cheap XLA transpose in HBM)."""
+    t = plane[:nty * ntx].reshape(nty, ntx, TILE_H, tile_w)
+    return t.transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * tile_w)
 
 
 def render_gaussians(cloud, view, proj, width: int, height: int,
@@ -1078,8 +1254,10 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      max_splats_per_tile: int | None = None,
                      big_splat_cap: int | None = None,
                      lod_budget=None,
+                     lod_tail: bool = False,
                      return_stats: bool = False,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     tile_w: int = TILE_W) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
 
@@ -1120,18 +1298,41 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     ``overflow_big_splats``); N//16 is a good default for INRIA-style
     scenes where large splats are a near-camera tail.
 
+    ``lod_tail`` (default OFF, active only with ``max_splats_per_tile``):
+    composite the pairs the LOD DROPS as a per-tile homogeneous slab
+    (bilinearly smoothed across tiles) behind the kept lists instead of
+    discarding their energy. MEASURED NET LOSS on the fog flythrough
+    (tools/exp_tail.py, BENCHLOG round 3): the smeared slab costs 30-50
+    dB on near-exact frames (72-91 → 39-41 dB) and buys only +1.3 dB on
+    the grazing hard frame, at +3.5 ms/frame — tile-footprint energy is
+    too coarse a proxy when drops are sparse and localized. Kept as an
+    opt-in for catastrophic-drop regimes (tiny pools on deep scenes,
+    where test_lod_tail_proxy_recovers_dropped_energy shows it recovers
+    most of the lost energy); the production fix for LOD quality is the
+    footprint-tight ``tile_w`` instead.
+
     ``return_stats=True`` additionally returns a dict with
     ``overflow_pairs`` (device scalar: LOD-dropped pairs — 0 means the
     render was exact) and ``overflow_big_splats`` so cap overflows are
     detectable at runtime instead of silently degrading (the 16.7 dB
     incident, BENCHLOG.md).
+
+    ``tile_w`` (32/64/128): composite tile width in pixels. Narrower
+    tiles make the composite FOOTPRINT-TIGHT — a splat's chunk evaluates
+    TILE_H*tile_w pixels, so at 32 the per-pair vector work drops 4x
+    while the emission fan stays K=4 (a <=15 px-radius splat spans <=2
+    columns of any width >=32) and the sort size is unchanged. Wins on
+    list-depth-bound scenes (surface scenes, exact mode); the step-count
+    overhead (2 extra steps/tile) grows with the 4x tile count, so wide
+    tiles can still win on saturation-bound fog (measure per scene —
+    BENCHLOG round 3).
     """
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
         from ..models.gaussians import eval_sh_colors
         with jax.named_scope("gs.sh_colors"):
             colors = eval_sh_colors(cloud, cam_pos)
-    max_radius = (float(level2_max_radius())
+    max_radius = (float(level2_max_radius(tile_w))
                   if big_splat_cap is not None else None)
     with jax.named_scope("gs.project"):
         ps = _project_fast(cloud.means, cloud.scales, cloud.quats,
@@ -1141,13 +1342,13 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     with jax.named_scope("gs.records"):
         records = _make_records(ps)            # original splat order
 
-    ntx = _pad_to(width, TILE_W) // TILE_W
+    ntx = _pad_to(width, tile_w) // tile_w
     nty = _pad_to(height, TILE_H) // TILE_H
     n = cloud.num_splats
     ntiles = ntx * nty
     exact_cap = n * KX * ky + ntiles * CHUNK
     if big_splat_cap is not None:
-        exact_cap += big_splat_cap * KX2 * KY2
+        exact_cap += big_splat_cap * _kx2(tile_w) * KY2
     if pairs_cap_factor is None:
         cap_pairs = exact_cap
     else:
@@ -1157,19 +1358,31 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     # (max_splats_per_tile sizes its own compact pack layout inside
     # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = _pad_to(cap_pairs, CHUNK)
+    tail_in = None
+    if max_splats_per_tile is not None and lod_tail:
+        # per-splat total alpha integral: op * 2π / sqrt(det(conic))
+        # (det(conic) = 1/det(cov2d)); culled splats zeroed
+        detc = jnp.maximum(ps.conic[:, 0] * ps.conic[:, 2]
+                           - ps.conic[:, 1] ** 2, 1e-12)
+        a_full = (ps.opacity * jnp.isfinite(ps.depth)
+                  * (2.0 * np.pi) * jax.lax.rsqrt(detc))
+        tail_in = (a_full, colors)
     with jax.named_scope("gs.bin"):
-        pack_idx, steps, visited, overflow, overflow_big = _bin_splats(
-            ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
-            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, ky=ky,
-            max_per_tile=max_splats_per_tile, big_cap=big_splat_cap,
-            budget=lod_budget)
+        pack_idx, steps, visited, overflow, overflow_big, tail_slab = \
+            _bin_splats(
+                ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+                jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs,
+                ky=ky, max_per_tile=max_splats_per_tile,
+                big_cap=big_splat_cap, budget=lod_budget, tail=tail_in,
+                tile_w=tile_w)
     with jax.named_scope("gs.pack"):
         packed = _pack_records(records, pack_idx)
 
     with jax.named_scope("gs.composite"):
         r, g, b, t, texec = _composite_call(packed, steps, nty, ntx,
-                                            interpret)
-    img = finalize_planes(r, g, b, t, visited, nty, ntx, background)
+                                            interpret, tile_w)
+    img = finalize_planes(r, g, b, t, visited, nty, ntx, background,
+                          tail_slab=tail_slab, tile_w=tile_w)
     img = img[:height, :width]
     if return_stats:
         # per-tile pairs actually composited before saturation (temporal
@@ -1182,9 +1395,10 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     return img
 
 
-def num_tiles(width: int, height: int) -> tuple[int, int]:
+def num_tiles(width: int, height: int,
+              tile_w: int = TILE_W) -> tuple[int, int]:
     """(ntx, nty) tile-grid shape for a framebuffer size."""
-    return ((width + TILE_W - 1) // TILE_W,
+    return ((width + tile_w - 1) // tile_w,
             (height + TILE_H - 1) // TILE_H)
 
 

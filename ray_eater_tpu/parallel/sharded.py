@@ -41,12 +41,28 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              cam_pos=None, ky: int | None = None,
                              max_splats_per_tile: int | None = None,
                              big_splat_cap: int | None = None,
-                             interpret: bool = False) -> jnp.ndarray:
+                             lod_budget=None,
+                             lod_tail: bool = False,
+                             return_stats: bool = False,
+                             interpret: bool = False,
+                             tile_w: int | None = None) -> jnp.ndarray:
     """Sharded GaussianCloud render → (height, width, 3) on the mesh.
     Feature parity with :func:`ray_eater_tpu.ops.gs.render_gaussians`:
     ``cam_pos`` enables view-dependent SH colors, ``ky`` the span/radius
     knob, ``max_splats_per_tile`` the per-tile LOD cap, ``big_splat_cap``
-    the two-level large-splat budget (see ops.gs.render_gaussians).
+    the two-level large-splat budget, ``lod_budget`` the (ntiles,)
+    temporal adaptive-LOD desire (full-grid tile order: feed
+    ``update_lod_budget`` of the previous frame's ``tile_exec`` — both
+    ends of that loop are full-grid arrays, sharded/unsharded here by
+    tile row), ``lod_tail`` the dropped-energy slab, ``return_stats`` the
+    overflow/telemetry dict, and ``tile_w`` the footprint-tight composite
+    tile width (see ops.gs.render_gaussians).
+
+    One semantic nuance vs single-device: the tail slab's per-splat
+    energy split divides by the splat's pair count WITHIN the band, so a
+    band-crossing dropped splat weighs slightly more than single-device
+    (the slab is an approximation either way; parity tests bound the
+    difference on whole images).
 
     Splats must be divisible by mesh size (pad the cloud if needed); the
     framebuffer row-band split requires padded height divisible by
@@ -54,13 +70,15 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     """
     if ky is None:
         ky = gs_ops.KY
+    if tile_w is None:
+        tile_w = gs_ops.TILE_W
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
     nty_total = _pad_to(height, gs_ops.TILE_H) // gs_ops.TILE_H
     nty_total = _pad_to(nty_total, d)
     nty_local = nty_total // d
     band_px = nty_local * gs_ops.TILE_H
-    ntx = _pad_to(width, gs_ops.TILE_W) // gs_ops.TILE_W
+    ntx = _pad_to(width, tile_w) // tile_w
     n = cloud.num_splats
     if n % d:
         raise ValueError(f"splat count {n} not divisible by mesh size {d}")
@@ -69,12 +87,13 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = n * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
     if big_splat_cap is not None:
-        cap_pairs += big_splat_cap * gs_ops.KX2 * gs_ops.KY2
+        cap_pairs += big_splat_cap * gs_ops._kx2(tile_w) * gs_ops.KY2
     cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK)
-    max_radius = (float(gs_ops.level2_max_radius())
+    max_radius = (float(gs_ops.level2_max_radius(tile_w))
                   if big_splat_cap is not None else None)
 
-    def local_render(means, scales, quats, opac, colors, sh_rest):
+    def local_render(means, scales, quats, opac, colors, sh_rest,
+                     budget_local):
         # --- splat-parallel projection + gather (one ICI all_gather of the
         # packed record matrix) ---
         if cam_pos is not None and sh_rest is not None:
@@ -108,33 +127,71 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         in_band = (my + rad > y0) & (my - rad < y0 + band_px)
         records = records.at[:, gs_ops._MY].add(-y0)
 
-        pack_idx, steps, visited, _, _ = \
+        tail_in = None
+        if max_splats_per_tile is not None and lod_tail:
+            # per-splat total alpha integral from the gathered records
+            # (conic + opacity + colors), matching render_gaussians
+            detc = jnp.maximum(
+                records[:, gs_ops._CA] * records[:, gs_ops._CC]
+                - records[:, gs_ops._CB] ** 2, 1e-12)
+            a_full = (records[:, gs_ops._OP] * (2.0 * jnp.pi)
+                      * jax.lax.rsqrt(detc))
+            tail_in = (a_full, records[:, gs_ops._CR:gs_ops._CB2 + 1])
+
+        pack_idx, steps, visited, overflow, overflow_big, tail_slab = \
             gs_ops._bin_splats(records[:, gs_ops._MX],
                                records[:, gs_ops._MY], rad,
                                valid & in_band, depth,
                                ntx, nty_local, cap_pairs, ky=ky,
                                max_per_tile=max_splats_per_tile,
-                               big_cap=big_splat_cap)
+                               big_cap=big_splat_cap,
+                               budget=(budget_local if lod_budget
+                                       is not None else None),
+                               tail=tail_in, tile_w=tile_w)
         packed = gs_ops._pack_records(records, pack_idx)
-        r_, g_, b_, t_, _ = gs_ops._composite_call(
-            packed, steps, nty_local, ntx, interpret)
-        return gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
-                                      ntx, background)  # (band_px, Wp, 3)
+        r_, g_, b_, t_, texec = gs_ops._composite_call(
+            packed, steps, nty_local, ntx, interpret, tile_w)
+        img = gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
+                                     ntx, background, tail_slab=tail_slab,
+                                     tile_w=tile_w)  # (band_px, Wp, 3)
+        tile_exec = jnp.where(visited, texec[:-1, 0, 0], 0)
+        return img, overflow[None], overflow_big[None], tile_exec
 
     spec_splat = P(axis)
     sh = getattr(cloud, "sh_rest", None)
-    out = jax.shard_map(
+    budget = lod_budget
+    if budget is not None:
+        # full-grid (ntiles,) desire, band rows padded to the grid the
+        # render actually uses (update_lod_budget output is full-grid)
+        budget = jnp.asarray(budget, jnp.int32)
+        full = nty_total * ntx
+        if budget.shape[0] < full:
+            budget = jnp.concatenate(
+                [budget, jnp.zeros(full - budget.shape[0], jnp.int32)])
+    out, overflow, overflow_big, tile_exec = jax.shard_map(
         local_render, mesh=mesh,
-        in_specs=(spec_splat,) * 5 + ((spec_splat,) if sh is not None
-                                      else (P(),)),
-        out_specs=P(axis, None, None),
+        in_specs=(spec_splat,) * 5
+        + ((spec_splat,) if sh is not None else (P(),))
+        + ((P(axis),) if budget is not None else (P(),)),
+        out_specs=(P(axis, None, None), P(axis), P(axis), P(axis)),
         check_vma=False,
     )(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
-      cloud.colors, sh)
+      cloud.colors, sh,
+      budget if budget is not None else jnp.zeros((d,), jnp.int32))
     # replicate before the crop: slicing a row-band-sharded image to the
     # unpadded height is sharding-ambiguous when bands don't divide it
     out = jax.device_put(out, jax.sharding.NamedSharding(mesh, P()))
-    return out[:height, :width]
+    img = out[:height, :width]
+    if return_stats:
+        # telemetry replicated: consumers (update_lod_budget's 3x3 pool)
+        # slice across the band boundary, which a row-band-sharded array
+        # can't express
+        tile_exec = jax.device_put(
+            tile_exec, jax.sharding.NamedSharding(mesh, P()))
+        return img, {"overflow_pairs": jnp.sum(overflow),
+                     "overflow_big_splats": jnp.sum(overflow_big),
+                     "tile_exec": tile_exec}
+    return img
 
 
 def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,

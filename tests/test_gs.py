@@ -61,7 +61,8 @@ def test_behind_camera_culled():
 
 
 def reference_composite(ps: ProjectedSplats, width, height, bg,
-                        two_level=False, return_sensitive=False):
+                        two_level=False, return_sensitive=False,
+                        tile_w=None):
     """Float64 per-pixel compositor with the kernel's tile-footprint rule:
     a splat contributes exactly to the pixels of the tiles it bins into.
     ``two_level=True`` mirrors the big_splat_cap path: splats larger than
@@ -71,25 +72,26 @@ def reference_composite(ps: ProjectedSplats, width, height, bg,
     discrete ``_ALPHA_MIN`` cutoff — there the kernel's f32 arithmetic can
     legitimately land on the other side of the 1/255 decision than this
     f64 oracle, so tolerance assertions should exclude those pixels."""
+    tw = gs.TILE_W if tile_w is None else tile_w
     order = np.argsort(np.asarray(ps.depth), kind="stable")
     ys, xs = np.mgrid[0:height, 0:width]
     px, py = xs + 0.5, ys + 0.5
     img = np.zeros((height, width, 3))
     T = np.ones((height, width))
     sensitive = np.zeros((height, width), bool)
-    ntx = -(-width // gs.TILE_W)
+    ntx = -(-width // tw)
     nty = -(-height // gs.TILE_H)
-    r1 = gs.level1_max_radius()
+    r1 = gs.level1_max_radius(tile_w=tw)
     for i in order:
         if not np.isfinite(float(ps.depth[i])):
             continue
         mx, my = (float(ps.mean2d[i, 0]), float(ps.mean2d[i, 1]))
         r = float(ps.radius[i])
-        tx0 = int(np.clip(np.floor((mx - r) / gs.TILE_W), 0, ntx - 1))
-        tx1 = int(np.clip(np.floor((mx + r) / gs.TILE_W), 0, ntx - 1))
+        tx0 = int(np.clip(np.floor((mx - r) / tw), 0, ntx - 1))
+        tx1 = int(np.clip(np.floor((mx + r) / tw), 0, ntx - 1))
         ty0 = int(np.clip(np.floor((my - r) / gs.TILE_H), 0, nty - 1))
         ty1 = int(np.clip(np.floor((my + r) / gs.TILE_H), 0, nty - 1))
-        kx, ky = ((gs.KX2, gs.KY2) if two_level and r > r1
+        kx, ky = ((gs._kx2(tw), gs.KY2) if two_level and r > r1
                   else (gs.KX, gs.KY))
         tx1 = min(tx1, tx0 + kx - 1)      # span cap, like the kernel
         ty1 = min(ty1, ty0 + ky - 1)
@@ -98,11 +100,11 @@ def reference_composite(ps: ProjectedSplats, width, height, bg,
         box = np.zeros_like(px, bool)
         for tty in range(ty0, ty1 + 1):
             for ttx in range(tx0, tx1 + 1):
-                rx0, ry0 = ttx * gs.TILE_W, tty * gs.TILE_H
-                ddx = max(rx0 - mx, mx - (rx0 + gs.TILE_W), 0.0)
+                rx0, ry0 = ttx * tw, tty * gs.TILE_H
+                ddx = max(rx0 - mx, mx - (rx0 + tw), 0.0)
                 ddy = max(ry0 - my, my - (ry0 + gs.TILE_H), 0.0)
                 if ddx * ddx + ddy * ddy <= r * r:
-                    box |= ((px >= rx0) & (px < rx0 + gs.TILE_W)
+                    box |= ((px >= rx0) & (px < rx0 + tw)
                             & (py >= ry0) & (py < ry0 + gs.TILE_H))
         dx, dy = px - mx, py - my
         ca, cb, cc = np.asarray(ps.conic[i], np.float64)
@@ -119,18 +121,19 @@ def reference_composite(ps: ProjectedSplats, width, height, bg,
     return (out, sensitive) if return_sensitive else out
 
 
-def test_composite_matches_reference():
+@pytest.mark.parametrize("tile_w", [128, 32])
+def test_composite_matches_reference(tile_w):
     view, proj = camera()
     cloud = random_cloud(80, seed=5, extent=0.8,
                          scale_range=(0.02, 0.08))
     bg = (0.1, 0.2, 0.3)
     got = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
-                                      interpret=True))
+                                      interpret=True, tile_w=tile_w))
     # same projection the render used — binning is discrete in radius/mean
     ps = gs._project_fast(cloud.means, cloud.scales, cloud.quats,
                           cloud.opacities, cloud.colors, view, proj, W, H,
                           interpret=True)
-    want = reference_composite(ps, W, H, bg)
+    want = reference_composite(ps, W, H, bg, tile_w=tile_w)
     assert np.isfinite(got).all()
     err = np.abs(got - want)
     assert err.max() < 2e-3, f"max err {err.max()}"
@@ -174,7 +177,7 @@ def test_pairs_cap_overflow_is_graceful():
     records = gs._make_records(ps)
     ntx, nty = 2, 6
     cap = 2 * gs.CHUNK
-    pack_idx, steps, visited, overflow, _ = gs._bin_splats(
+    pack_idx, steps, visited, overflow, _, _ = gs._bin_splats(
         ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
         jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap)
     assert int(overflow) > 0
@@ -389,6 +392,60 @@ def test_lod_pool_keeps_deep_content_tiles():
     assert green.sum() > 50, "fixture should show the far cluster"
     assert (capped[green].max(-1) > 0.05).mean() > 0.95, \
         "far-only tiles must not be emptied by neighbors' shallow cuts"
+
+
+def test_tail_sums_match_numpy():
+    # the block-partial-sum segment reduction vs direct float64 sums
+    rng = np.random.RandomState(7)
+    m = 3000
+    la = rng.rand(m).astype(np.float32) * 0.2
+    cols = rng.rand(m, 3).astype(np.float32)
+    q = np.clip((np.sqrt(la / gs._TAIL_LA_MAX) * 32767.0 + 0.5)
+                .astype(np.int64), 0, 32767)
+    r5 = (cols[:, 0] * 31 + 0.5).astype(np.int64)
+    g6 = (cols[:, 1] * 63 + 0.5).astype(np.int64)
+    b5 = (cols[:, 2] * 31 + 0.5).astype(np.int64)
+    aux = ((q << 16) | (r5 << 11) | (g6 << 5) | b5).astype(np.int32)
+    lo = np.sort(rng.randint(0, m, 17)).astype(np.int32)
+    hi = np.minimum(lo + rng.randint(0, m // 4, 17), m).astype(np.int32)
+    got = np.asarray(gs._tail_sums(jnp.asarray(aux), jnp.asarray(lo),
+                                   jnp.asarray(hi)))
+    laq = (q / 32767.0) ** 2 * gs._TAIL_LA_MAX
+    ch = np.stack([laq, laq * (r5 / 31.0), laq * (g6 / 63.0),
+                   laq * (b5 / 31.0)])
+    want = np.stack([ch[:, a:b].sum(1) for a, b in zip(lo, hi)], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_lod_tail_proxy_recovers_dropped_energy():
+    # a deep stack of FAINT splats: the LOD drops most of the list, losing
+    # visible energy; the homogeneous tail slab must recover most of it
+    view, proj = camera()
+    n = 4000
+    rng = np.random.RandomState(11)
+    # splats spread uniformly across the view (the tile-average slab
+    # approximation's regime — real fog, not a coincident stack)
+    means = (rng.rand(n, 3).astype(np.float32) - 0.5) * np.array(
+        [1.4, 0.8, 1.0], np.float32)
+    cloud = gaussian_cloud(means, np.full((n, 3), 0.06),
+                           [[1, 0, 0, 0]] * n, [0.15] * n,
+                           np.tile([[0.9, 0.7, 0.3]], (n, 1)))
+    exact = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                        interpret=True))
+    lod_no = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                         max_splats_per_tile=gs.CHUNK,
+                                         lod_tail=False, interpret=True))
+    lod_tail = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                           max_splats_per_tile=gs.CHUNK,
+                                           lod_tail=True, interpret=True))
+    err_no = np.abs(lod_no - exact).mean()
+    err_tail = np.abs(lod_tail - exact).mean()
+    assert err_no > 0.01, "fixture must actually drop visible energy"
+    # this 6-tile fixture exaggerates the slab's bilinear cross-tile
+    # bleed (2 of 6 tiles are border tiles); real 510-tile frames do
+    # better — the bench's min-PSNR gate over sampled frames is the
+    # production arbiter. Here we require a solid fraction recovered.
+    assert err_tail < 0.7 * err_no, (err_no, err_tail)
 
 
 def test_temporal_lod_budget_converges():

@@ -99,7 +99,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs)
         return t + pidx[0].astype(jnp.float32) * 1e-12 + recs[0, 0] * 1e-12
@@ -110,7 +110,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs)
         packed = gs._pack_records(recs, pidx)
@@ -133,7 +133,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
             max_per_tile=MPT)
@@ -145,7 +145,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
             max_per_tile=MPT)
@@ -166,7 +166,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
             max_per_tile=MPT)
