@@ -73,7 +73,8 @@ def cloud_from_params(p: GaussianParams) -> GaussianCloud:
 def render_diff(params: GaussianParams, view, proj, width: int, height: int,
                 background=(0.0, 0.0, 0.0), row_chunk: int = 16,
                 y_offset: float = 0.0,
-                full_height: int | None = None) -> jnp.ndarray:
+                full_height: int | None = None,
+                mean2d_offset=None) -> jnp.ndarray:
     """Differentiable render → (height, width, 3).
 
     ``y_offset`` shifts the pixel grid and ``full_height`` gives the whole
@@ -82,11 +83,17 @@ def render_diff(params: GaussianParams, view, proj, width: int, height: int,
     depth-ordered with a straight-through sort (ordering indices are
     non-differentiable; values flow through a gather, which has a
     well-defined VJP).
+
+    ``mean2d_offset`` (N, 2), usually zeros: added to the projected
+    screen-space means so its gradient is the per-splat view-space
+    positional gradient (densification statistic, models/gs_densify.py).
     """
     cloud = cloud_from_params(params)
     ps = project_gaussians(cloud.means, cloud.scales, cloud.quats,
                            cloud.opacities, cloud.colors, view, proj,
                            width, full_height or height)
+    if mean2d_offset is not None:
+        ps = ps._replace(mean2d=ps.mean2d + mean2d_offset)
     order = jax.lax.stop_gradient(jnp.argsort(ps.depth))
     g = lambda a: jnp.take(a, order, axis=0)
     mx, my = g(ps.mean2d[:, 0]), g(ps.mean2d[:, 1])
@@ -129,7 +136,8 @@ def render_diff(params: GaussianParams, view, proj, width: int, height: int,
 def render_diff_pallas(params: GaussianParams, view, proj, width: int,
                        height: int, background=(0.0, 0.0, 0.0),
                        max_splats_per_tile: int = 256,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       mean2d_offset=None) -> jnp.ndarray:
     """Differentiable render through the production Pallas pipeline
     (custom-VJP composite backward) — the 1M-splat-scale training path.
     Cites ops/gs.py render_gaussians_diff for the kernel details."""
@@ -138,7 +146,8 @@ def render_diff_pallas(params: GaussianParams, view, proj, width: int,
     return render_gaussians_diff(
         cloud.means, cloud.scales, cloud.quats, cloud.opacities,
         cloud.colors, view, proj, width, height, background=background,
-        max_splats_per_tile=max_splats_per_tile, interpret=interpret)
+        max_splats_per_tile=max_splats_per_tile, interpret=interpret,
+        mean2d_offset=mean2d_offset)
 
 
 def make_train_step_pallas(optimizer, view, proj,

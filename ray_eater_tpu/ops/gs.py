@@ -1161,7 +1161,8 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
                           max_splats_per_tile: int = 256,
                           ky: int = KY,
                           interpret: bool = False,
-                          tile_w: int = TILE_W) -> jnp.ndarray:
+                          tile_w: int = TILE_W,
+                          mean2d_offset=None) -> jnp.ndarray:
     """Differentiable Pallas render — the 1M-splat training path.
 
     Same pipeline as :func:`render_gaussians` (compact LOD layout
@@ -1171,9 +1172,16 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
     the custom Pallas VJP, and the pack gather via jnp.take's native
     scatter-add VJP. Binning decisions (keys, step maps) are
     stop-gradient, matching the original 3DGS.
+
+    ``mean2d_offset`` (N, 2), usually zeros: added to the projected
+    screen-space means, so its gradient is the per-splat VIEW-SPACE
+    positional gradient — the densification statistic of the original
+    3DGS adaptive density control (models/gs_densify.py).
     """
     ps = project_gaussians(means, scales, quats, opacities, colors,
                            view, proj, width, height, ky=ky)
+    if mean2d_offset is not None:
+        ps = ps._replace(mean2d=ps.mean2d + mean2d_offset)
     records = _make_records(ps)
     sg = jax.lax.stop_gradient
     ntx = _pad_to(width, tile_w) // tile_w

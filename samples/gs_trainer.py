@@ -37,6 +37,109 @@ from ray_eater_tpu.utils.logging import scoped
 log = scoped("application")
 
 
+def train_adc(args):
+    """From-scratch multi-view reconstruction with the INRIA adaptive
+    density control loop: clone/split high-gradient splats, prune
+    transparent ones, reset opacities — the training recipe of the 3DGS
+    paper the reference cites (README.md:7)."""
+    import jax.numpy as jnp
+
+    from ray_eater_tpu.models.gs_densify import (densify_and_prune,
+                                                 init_densify_state,
+                                                 make_train_step_adc,
+                                                 pad_params,
+                                                 reset_new_slots,
+                                                 reset_opacity)
+
+    ctx = re.Context()
+    W, H = args.width, args.height
+    cap = args.capacity or 4 * args.splats
+    proj = rmath.perspective(rmath.radians(60.0), W / H, 0.1, 30.0)
+
+    # hidden scene + a ring of training cameras
+    target_cloud = random_cloud(args.splats, seed=42, extent=0.5,
+                                scale_range=(0.03, 0.08))
+    path = args.path or ("pallas" if cap > 4096 else "jnp")
+    use_pallas = path == "pallas"
+    render = (render_diff if not use_pallas
+              else lambda p, v, pr, w, h: render_diff_pallas(
+                  p, v, pr, w, h, interpret=ctx.interpret))
+    views, targets = [], []
+    tp = params_from_cloud(target_cloud)
+    for k in range(args.views):
+        ang = 2.0 * np.pi * k / args.views
+        eye = rmath.vec(2.3 * np.cos(ang), 0.4, 2.3 * np.sin(ang))
+        v = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
+        views.append(v)
+        targets.append(jax.block_until_ready(render(tp, v, proj, W, H)))
+    log.info("rendered %d target views of a hidden %d-splat scene",
+             args.views, args.splats)
+
+    n0 = max(args.splats // 16, 16)
+    params = pad_params(
+        params_from_cloud(random_cloud(n0, seed=7, extent=0.5,
+                                       scale_range=(0.05, 0.1))), cap)
+    dstate = init_densify_state(cap, n0)
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    step = make_train_step_adc(opt, W, H, use_pallas=use_pallas,
+                               interpret=ctx.interpret)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        k = i % args.views
+        params, opt_state, dstate, loss = step(
+            params, opt_state, dstate, targets[k], views[k], proj)
+        if i == 0:
+            jax.block_until_ready(loss)
+            log.info("compiled adc train step on %s (capacity %d)",
+                     ctx.device, cap)
+            t0 = time.perf_counter()
+        last_densify = args.steps - 2 * args.densify_every
+        if (i % args.densify_every == args.densify_every - 1
+                and i < last_densify):
+            # threshold = a live-quantile of the mean view-space gradient
+            # (self-normalizing across resolutions/losses; the INRIA
+            # absolute 2e-4 assumes their NDC gradient scale)
+            avg = np.asarray(dstate.grad_accum) / np.maximum(
+                np.asarray(dstate.grad_count), 1.0)
+            lv = np.asarray(dstate.live)
+            thr = float(np.quantile(avg[lv], 0.7)) if lv.any() else 0.0
+            key, kk = jax.random.split(key)
+            prev = dstate.live
+            params, dstate, st = densify_and_prune(
+                params, dstate, kk, grad_threshold=max(thr, 1e-12),
+                scene_extent=1.0, prune_scale3d=0.5)
+            opt_state = reset_new_slots(opt_state, prev, dstate.live)
+            log.info("step %4d densify: +%d clone +%d split -%d prune "
+                     "-> %d live; loss %.6f", i, int(st["n_clone"]),
+                     int(st["n_split"]), int(st["n_prune"]),
+                     int(st["n_live"]), float(loss))
+        if i and i % 1500 == 1499 and i < last_densify:
+            params = reset_opacity(params, dstate)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    psnrs = []
+    for v, t in zip(views, targets):
+        mse = float(jnp.mean((render(params, v, proj, W, H) - t) ** 2))
+        psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+    final = render(params, views[0], proj, W, H)
+    os.makedirs(args.out, exist_ok=True)
+    save_png(os.path.join(args.out, "target.png"),
+             to_srgb_u8(targets[0]))
+    save_png(os.path.join(args.out, "fitted.png"), to_srgb_u8(final))
+    n_live = int(jnp.sum(dstate.live))
+    print(f"gs_trainer[adc/{path}]: {args.steps} steps, {n0} -> "
+          f"{n_live} live splats (cap {cap}), {args.views} views "
+          f"{W}x{H} on {ctx.device.platform}, "
+          f"{max(args.steps - 1, 1) / dt:.1f} steps/s; "
+          f"mean PSNR {np.mean(psnrs):.1f} dB (min {min(psnrs):.1f}) "
+          f"(saved {args.out}/fitted.png)")
+    return float(np.mean(psnrs))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--splats", type=int, default=256)
@@ -50,8 +153,20 @@ def main(argv=None):
                     help="differentiable renderer: the Pallas custom-VJP "
                          "kernels (scales to 1M splats) or the pure-jnp "
                          "reference. Default: pallas above 4096 splats")
+    ap.add_argument("--adc", action="store_true",
+                    help="scene RECONSTRUCTION with adaptive density "
+                         "control: start from a small random init, fit "
+                         "multi-view targets, densify/prune on the INRIA "
+                         "schedule (models/gs_densify.py)")
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="--adc slot capacity (default 4x --splats)")
+    ap.add_argument("--views", type=int, default=6,
+                    help="--adc camera count around the scene")
+    ap.add_argument("--densify-every", type=int, default=100)
     ap.add_argument("--out", default="/tmp/rayeater_train")
     args = ap.parse_args(argv)
+    if args.adc:
+        return train_adc(args)
     if args.steps < 1:
         ap.error("--steps must be >= 1")
     os.makedirs(args.out, exist_ok=True)   # fail fast on unwritable --out
