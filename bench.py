@@ -79,6 +79,11 @@ def main():
     # artifacts). RAYEATER_BENCH_MPT=0 renders exact; the PSNR gate below
     # prints the fidelity of whatever config runs.
     mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 384)) or None
+    # composite tile width (footprint-tight compositing knob): narrower
+    # tiles make per-pair cost track splat footprint instead of tile
+    # area, and at an equal step-pool budget the LOD depth cut is
+    # spatially 4x tighter (BENCHLOG round 3 tile-width A/B)
+    tile_w = int(os.environ.get("RAYEATER_BENCH_TILEW", 128))
     # TEMPORAL adaptive LOD (default on): each frame's executed-depth
     # telemetry drives the next frame's per-tile budgets, so
     # early-saturating tiles release step-pool capacity to deep ones —
@@ -89,7 +94,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    ntx, nty = num_tiles(W, H)
+    ntx, nty = num_tiles(W, H, tile_w=tile_w)
 
     def one_frame(c, t, budget=None):
         ang = rmath.radians(30.0) * t
@@ -103,7 +108,8 @@ def main():
                                 big_splat_cap=big_cap,
                                 lod_budget=budget,
                                 return_stats=True,
-                                interpret=interpret)
+                                interpret=interpret,
+                                tile_w=tile_w)
 
     frame_fn = jax.jit(one_frame)
     budget0 = jnp.full((ntx * nty,), mpt or 0, jnp.int32)
@@ -156,7 +162,8 @@ def main():
             return render_gaussians(c, view, proj, W, H,
                                     pairs_cap_factor=None,
                                     big_splat_cap=big_cap,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    tile_w=tile_w)
 
         exact_fn = jax.jit(exact_frame)
         warm = int(os.environ.get("RAYEATER_BENCH_PSNR_WARMUP", 8))

@@ -67,6 +67,14 @@ KY = 2
 #: level2_max_radius (111 px) for a budgeted subset of splats.
 KY2 = 8
 KX2 = 3
+#: per-tile LOD desire ceiling, in multiples of max_splats_per_tile.
+#: Grazing-angle surface tiles legitimately need 20-30x the pool average
+#: (shell frame 59: silhouette tiles hold 8-12k pairs whose front
+#: surface spans most of that depth; the old 4x cap rendered their far
+#: halves black — 14-21 dB, tools/exp_shell.py). The floor-guaranteed
+#: pool allocation below makes a high ceiling safe: greedy tiles can
+#: only consume the pool's surplus, never a tile's baseline share.
+LOD_DESIRE_CAP = 32
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
@@ -647,17 +655,31 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
             sorted_key, (tvec[:-1] << db) | pooled,
             side="right").astype(jnp.int32)
         desired = jnp.clip(jnp.maximum(nthr, kend - startc), 0,
-                           jnp.minimum(count, 4 * max_per_tile))
+                           jnp.minimum(count, LOD_DESIRE_CAP
+                                       * max_per_tile))
         # pool sized so max_per_tile average pairs/tile always fit:
         # sum(nsteps) <= pool_pairs/128 + 2*ntiles (block rounding + one
         # boundary step per tile), hence the +2
         cap_steps = ntiles * (_pad_to(max_per_tile, CHUNK) // CHUNK + 2)
         pool_pairs = (cap_steps - 2 * ntiles) * CHUNK
-        scale = jnp.minimum(
-            1.0, pool_pairs / jnp.maximum(jnp.sum(desired), 1
-                                          ).astype(jnp.float32))
-        kept = jnp.minimum((desired.astype(jnp.float32) * scale)
-                           .astype(jnp.int32), desired)
+        # FLOOR-GUARANTEED allocation: every tile first receives its own
+        # baseline nthr = min(count, want) — the uniform-cap share (or
+        # its temporal budget) — and only the surplus pool funds the
+        # pooled-depth-cut EXTRA above it, proportionally. The former
+        # all-proportional scale let a few ultra-deep tiles starve
+        # everyone (and the 4x desire cap starved THEM — the shell
+        # silhouette failure, tools/exp_shell.py).
+        floor = jnp.minimum(nthr, desired)
+        fsum = jnp.sum(floor).astype(jnp.float32)
+        fscale = jnp.minimum(1.0, pool_pairs / jnp.maximum(fsum, 1.0))
+        floor = jnp.minimum((floor.astype(jnp.float32) * fscale)
+                            .astype(jnp.int32), floor)
+        extra = desired - floor
+        spare = (pool_pairs - jnp.sum(floor)).astype(jnp.float32)
+        escale = jnp.clip(spare / jnp.maximum(
+            jnp.sum(extra), 1).astype(jnp.float32), 0.0, 1.0)
+        kept = floor + (extra.astype(jnp.float32) * escale
+                        ).astype(jnp.int32)
         overflow = jnp.sum(count - kept)
         maxblk = mpad // CHUNK - 1
     else:
@@ -1416,11 +1438,13 @@ def update_lod_budget(tile_exec, max_splats_per_tile: int,
     (``tile_exec`` stat of :func:`render_gaussians`): 3x3-max-pooled over
     the tile grid (camera motion shifts content by tiles between frames),
     grown 1.5x + one chunk of headroom so under-budgeted tiles converge
-    up geometrically, clamped to [CHUNK, 4 * max_splats_per_tile] (the
-    hard per-tile desire cap of the pool allocator)."""
+    up geometrically, clamped to [CHUNK, LOD_DESIRE_CAP *
+    max_splats_per_tile] (the per-tile desire ceiling of the pool
+    allocator)."""
     e = tile_exec.reshape(nty, ntx)
     ep = jnp.pad(e, 1, mode="edge")
     pooled = jnp.max(jnp.stack(
         [ep[i:i + nty, j:j + ntx] for i in range(3) for j in range(3)]), 0)
     b = (pooled.astype(jnp.float32) * 1.5).astype(jnp.int32) + CHUNK
-    return jnp.clip(b, CHUNK, 4 * max_splats_per_tile).reshape(-1)
+    return jnp.clip(b, CHUNK,
+                    LOD_DESIRE_CAP * max_splats_per_tile).reshape(-1)

@@ -54,7 +54,8 @@ def main():
                                   rmath.vec(0.0, 0.0, 0.0))
     proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
 
-    ntx = (W + gs.TILE_W - 1) // gs.TILE_W
+    TW = int(os.environ.get("RAYEATER_PROF_TILEW", gs.TILE_W))
+    ntx = (W + TW - 1) // TW
     nty = (H + gs.TILE_H - 1) // gs.TILE_H
     ntiles = ntx * nty
     ky = gs.KY
@@ -101,7 +102,7 @@ def main():
         recs = gs._make_records(ps)
         pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
-            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs)
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, tile_w=TW)
         return t + pidx[0].astype(jnp.float32) * 1e-12 + recs[0, 0] * 1e-12
 
     def st_pack(t):
@@ -112,14 +113,14 @@ def main():
         recs = gs._make_records(ps)
         pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
-            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs)
+            jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, tile_w=TW)
         packed = gs._pack_records(recs, pidx)
         return t + packed[0, 0] * 1e-12
 
     def st_full(t):
         v = mk_view(t)
         img = gs.render_gaussians(cloud, v, proj, W, H,
-                                  interpret=ctx.interpret)
+                                  interpret=ctx.interpret, tile_w=TW)
         return t + img[0, 0, 0] * 1e-12
 
     # ---- bench-config stages (capf=4, mpt=512 compact LOD layout) --------
@@ -136,7 +137,7 @@ def main():
         pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
-            max_per_tile=MPT)
+            max_per_tile=MPT, tile_w=TW)
         return t + pidx[0].astype(jnp.float32) * 1e-12 + recs[0, 0] * 1e-12
 
     def st_pack_m(t):
@@ -148,7 +149,7 @@ def main():
         pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
-            max_per_tile=MPT)
+            max_per_tile=MPT, tile_w=TW)
         packed = gs._pack_records(recs, pidx)
         return t + packed[0, 0] * 1e-12
 
@@ -156,7 +157,7 @@ def main():
         v = mk_view(t)
         img = gs.render_gaussians(cloud, v, proj, W, H,
                                   pairs_cap_factor=4, max_splats_per_tile=MPT,
-                                  interpret=ctx.interpret)
+                                  interpret=ctx.interpret, tile_w=TW)
         return t + img[0, 0, 0] * 1e-12
 
     def st_comp_m(t):
@@ -169,10 +170,10 @@ def main():
         pidx, steps, vis, ov, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
-            max_per_tile=MPT)
+            max_per_tile=MPT, tile_w=TW)
         packed = gs._pack_records(recs, pidx)
         r, g, b, tt, _ = gs._composite_call(packed, steps, nty, ntx,
-                                            ctx.interpret)
+                                            ctx.interpret, TW)
         return t + (r[0, 0, 0] + g[0, 0, 0] + b[0, 0, 0]
                     + tt[0, 0, 0]) * 1e-12
 
