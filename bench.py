@@ -112,7 +112,9 @@ def main():
                                 tile_w=tile_w)
 
     frame_fn = jax.jit(one_frame)
-    budget0 = jnp.full((ntx * nty,), mpt or 0, jnp.int32)
+    # two channels: [floor want, dry need] — see gs.update_lod_budget
+    budget0 = jnp.stack([jnp.full((ntx * nty,), mpt or 0, jnp.int32),
+                         jnp.zeros((ntx * nty,), jnp.int32)], -1)
 
     # DEVICE-RESIDENT window: all frames of a window render in one
     # lax.fori_loop dispatch (each frame forced through the carry), the
@@ -127,7 +129,9 @@ def main():
             acc, budget = carry
             img, stats = one_frame(c, t0 + i.astype(jnp.float32) / 60.0,
                                    budget if temporal else None)
-            nb = (update_lod_budget(stats["tile_exec"], mpt, ntx, nty)
+            nb = (update_lod_budget(stats["tile_exec"], mpt, ntx, nty,
+                                    stats.get("tile_kept"),
+                                    stats.get("tile_count"))
                   if temporal else budget)
             return acc + img[0, 0, 0] * 1e-12, nb
         return lax.fori_loop(0, frames, body, (t0, b0))
@@ -171,27 +175,31 @@ def main():
         @jax.jit
         def warmed_frame(c, t):
             if not temporal:
-                img, _ = one_frame(c, t, None)
-                return img
+                img, stats = one_frame(c, t, None)
+                return img, stats["overflow_pairs"]
             def body(i, budget):
                 _, stats = one_frame(
                     c, t - (warm - i).astype(jnp.float32) / 60.0, budget)
-                return update_lod_budget(stats["tile_exec"], mpt, ntx, nty)
+                return update_lod_budget(stats["tile_exec"], mpt, ntx,
+                                         nty, stats.get("tile_kept"),
+                                         stats.get("tile_count"))
             b = lax.fori_loop(0, warm, body, budget0)
-            img, _ = one_frame(c, t, b)
-            return img
+            img, stats = one_frame(c, t, b)
+            return img, stats["overflow_pairs"]
 
         nsamp = int(os.environ.get("RAYEATER_BENCH_PSNR_FRAMES", 6))
-        psnrs = []
+        psnrs, drops = [], []
         for k in range(nsamp):
             ts = np.float32((frames - 1) * k / (nsamp - 1) / 60.0)
-            a = warmed_frame(cloud, ts)
+            a, ov = warmed_frame(cloud, ts)
             b = exact_fn(cloud, ts)
             mse = float(jnp.mean((a - b) ** 2))
             psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+            drops.append(int(ov))
         log("LOD quality vs exact: min %.1f dB over %d sampled frames %s"
             % (min(psnrs), nsamp,
                "[" + " ".join(f"{p:.1f}" for p in psnrs) + "]"))
+        log("LOD pairs dropped per sampled frame: %s" % drops)
 
 
     # best of three measurement windows: throughput through the device

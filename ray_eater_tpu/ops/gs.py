@@ -470,10 +470,35 @@ def _tail_sums(aux_sorted, lo, hi):
     return s_excl(hi) - s_excl(lo)
 
 
+def _emit_pair(mx, my, r, valid, qd, ntx: int, nty: int, db: int,
+               tile_w: int):
+    """TWO-slot fan for splats spanning at most 2 tiles (≤1 grid-line
+    crossing): slot 0 = home tile (tx0, ty0), slot 1 = the one crossed
+    neighbor. Callers must route splats crossing BOTH a vertical and a
+    horizontal line (up to 2x2 tiles) elsewhere — see ``corner_cap``.
+    No circle-vs-rect cull is needed: a circle crossing one grid line
+    within its row/column band always overlaps the neighbor rect."""
+    ntiles = ntx * nty
+    sentinel = ntiles << db
+    tx0 = jnp.floor((mx - r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
+    tx1 = jnp.floor((mx + r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
+    ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    cx = (tx1 > tx0).astype(jnp.int32)
+    cy = (ty1 > ty0).astype(jnp.int32)
+    home = ty0 * ntx + tx0
+    k0 = jnp.where(valid, (home << db) | qd, sentinel)
+    other = (ty0 + cy) * ntx + (tx0 + cx)
+    ok1 = valid & ((cx + cy) == 1)
+    k1 = jnp.where(ok1, (other << db) | qd, sentinel)
+    return [k0, k1]
+
+
 def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
                 max_per_tile: int | None = None,
                 big_cap: int | None = None,
+                corner_cap: int | None = None,
                 budget=None, tail=None, tile_w: int = TILE_W):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
@@ -543,14 +568,61 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     # two-level binning is off — projection already clamped their radii)
     r1 = float(level1_max_radius(ky, tile_w))
     small = valid if big_cap is None else valid & (r <= r1)
-    keys = _emit_fan(mx, my, r, small, qd, KX, ky, ntx, nty, db, tile_w)
-    ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+    overflow_corner = jnp.zeros((), jnp.int32)
+    if corner_cap is not None and ky == 2 and KX == 2:
+        # K-REDUCTION: most small splats cross at most ONE tile grid
+        # line, so a 2-slot fan covers them — HALF the static sort
+        # slots of the 2x2 fan. The minority crossing both a vertical
+        # and a horizontal line (up to 4 tiles) route through a
+        # ``corner_cap``-budgeted compacted side channel exactly like
+        # the big-splat level-2 path (overflowers are dropped whole and
+        # counted in overflow_big_splats).
+        tx0 = jnp.floor((mx - r) / tile_w).astype(jnp.int32) \
+                 .clip(0, ntx - 1)
+        tx1 = jnp.floor((mx + r) / tile_w).astype(jnp.int32) \
+                 .clip(0, ntx - 1)
+        ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32) \
+                 .clip(0, nty - 1)
+        ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32) \
+                 .clip(0, nty - 1)
+        corner = small & (tx1 > tx0) & (ty1 > ty0)
+        lvl1 = small & ~corner
+        keys = _emit_pair(mx, my, r, lvl1, qd, ntx, nty, db, tile_w)
+        ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+        ccsum = jnp.cumsum(corner.astype(jnp.int32))
+        ncorner = ccsum[-1]
+        overflow_corner = jnp.maximum(ncorner - corner_cap, 0)
+        cslot = jnp.arange(corner_cap, dtype=jnp.int32)
+        ccidx = jnp.clip(jnp.searchsorted(ccsum, cslot + 1, side="left"),
+                         0, n - 1).astype(jnp.int32)
+        cside = jnp.stack([mx, my, r, qd.astype(jnp.float32)], -1)
+        cs = jnp.take(cside, ccidx, axis=0)            # (corner_cap, 4)
+        cvalid = cslot < ncorner
+        ckeys = _emit_fan(cs[:, 0], cs[:, 1], cs[:, 2], cvalid,
+                          cs[:, 3].astype(jnp.int32), KX, ky,
+                          ntx, nty, db, tile_w)
+        corner_extra = (ckeys, ccidx)
+    else:
+        keys = _emit_fan(mx, my, r, small, qd, KX, ky, ntx, nty, db,
+                         tile_w)
+        ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+        corner_extra = None
     if tail is not None:
         sent1 = (ntx * nty) << db
         n_pairs = sum((k != sent1).astype(jnp.int32) for k in keys)
         aux_splat = _pack_tail_aux(tail[0], tail[1], n_pairs,
                                    TILE_H * tile_w)
         auxs = [jnp.tile(aux_splat, len(keys))]
+    if corner_extra is not None:
+        ckeys, ccidx = corner_extra
+        keys += ckeys
+        ids.append(jnp.tile(ccidx, len(ckeys)))
+        if tail is not None:
+            np_c = sum((k != sent1).astype(jnp.int32) for k in ckeys)
+            aux_c = _pack_tail_aux(jnp.take(tail[0], ccidx),
+                                   jnp.take(tail[1], ccidx, axis=0),
+                                   np_c, TILE_H * tile_w)
+            auxs.append(jnp.tile(aux_c, len(ckeys)))
     if big_cap is not None:
         # level-2 (coarse) fan: the budgeted LARGE-splat subset. Their
         # indices compact via cumsum + searchsorted (scatter-free), their
@@ -641,7 +713,17 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         # the previous frame's executed depth instead of the uniform
         # max_per_tile — early-saturating tiles release pool capacity to
         # tiles that genuinely need deep lists. The static pool size is
-        # still governed by max_per_tile.
+        # still governed by max_per_tile. A (ntiles, 2) budget carries a
+        # second DRY-NEED channel (tiles that walked their whole
+        # truncated list without saturating want their full list): it
+        # raises ``desired`` — funded from pool SURPLUS only — but never
+        # the floor, so on scenes where nothing saturates (fog grazing
+        # views: every tile "dry") it cannot distort the baseline
+        # allocation, while on surface scenes the idle pool flows to the
+        # starved silhouette tiles (tools/exp_shell.py).
+        dry_need = None
+        if budget is not None and budget.ndim == 2:
+            budget, dry_need = budget[:, 0], budget[:, 1]
         want = max_per_tile if budget is None else budget
         nthr = jnp.minimum(count, want)
         cut_i = jnp.clip(startc + nthr - 1, 0, mpad - 1)
@@ -654,7 +736,10 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         kend = jnp.searchsorted(
             sorted_key, (tvec[:-1] << db) | pooled,
             side="right").astype(jnp.int32)
-        desired = jnp.clip(jnp.maximum(nthr, kend - startc), 0,
+        need = jnp.maximum(nthr, kend - startc)
+        if dry_need is not None:
+            need = jnp.maximum(need, jnp.minimum(count, dry_need))
+        desired = jnp.clip(need, 0,
                            jnp.minimum(count, LOD_DESIRE_CAP
                                        * max_per_tile))
         # pool sized so max_per_tile average pairs/tile always fit:
@@ -748,7 +833,14 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         s = _tail_sums(sorted_aux, startc + kept, start[1:])
         tail_rgb = (s[1:4] / jnp.maximum(s[0:1], 1e-9)).T    # (ntiles, 3)
         tail_slab = (s[0], tail_rgb)
-    return pack_idx, steps, visited, overflow, overflow_big, tail_slab
+    # (kept, count) per tile: with tile_exec telemetry they distinguish a
+    # tile that SATURATED (exec < kept — needs less next frame) from one
+    # that RAN DRY (exec == kept < count — jump its budget straight to
+    # count; 1.5x-growth takes ~7 frames to recover a 10x truncation)
+    # corner-channel overflowers are dropped whole, like big-splat ones
+    overflow_big = overflow_big + overflow_corner
+    return (pack_idx, steps, visited, overflow, overflow_big, tail_slab,
+            (kept, count))
 
 
 def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
@@ -1210,7 +1302,7 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
     nty = _pad_to(height, TILE_H) // TILE_H
     cap_pairs = _pad_to(means.shape[0] * KX * ky + ntx * nty * CHUNK,
                         CHUNK)
-    pack_idx, steps, visited, _, _, _ = _bin_splats(
+    pack_idx, steps, visited, _, _, _, _ = _bin_splats(
         sg(ps.mean2d[:, 0]), sg(ps.mean2d[:, 1]), ps.radius,
         jnp.isfinite(sg(ps.depth)), sg(ps.depth), ntx, nty, cap_pairs,
         ky=ky, max_per_tile=max_splats_per_tile, tile_w=tile_w)
@@ -1283,6 +1375,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      ky: int = KY,
                      max_splats_per_tile: int | None = None,
                      big_splat_cap: int | None = None,
+                     corner_cap: int | None = None,
                      lod_budget=None,
                      lod_tail: bool = False,
                      return_stats: bool = False,
@@ -1347,6 +1440,16 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     detectable at runtime instead of silently degrading (the 16.7 dB
     incident, BENCHLOG.md).
 
+    ``corner_cap`` enables the K-REDUCTION fan (requires the default
+    ky=2): most small splats cross at most one tile grid line, so
+    level-1 emits a 2-slot fan — HALF the static sort slots, a
+    proportionally smaller sort/pack/step budget in exact mode — and
+    the minority crossing both a vertical and a horizontal line route
+    through this budgeted 2x2 side channel (overflowers are dropped
+    whole and counted in ``overflow_big_splats``). Size it generously:
+    the corner fraction is (2r/tile_w)(2r/32) per splat; n//4 is safe
+    for fog-like scenes at tile_w=32, n//8 at 64+.
+
     ``tile_w`` (32/64/128): composite tile width in pixels. Narrower
     tiles make the composite FOOTPRINT-TIGHT — a splat's chunk evaluates
     TILE_H*tile_w pixels, so at 32 the per-pair vector work drops 4x
@@ -1376,7 +1479,11 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     nty = _pad_to(height, TILE_H) // TILE_H
     n = cloud.num_splats
     ntiles = ntx * nty
-    exact_cap = n * KX * ky + ntiles * CHUNK
+    if corner_cap is not None and ky == 2 and KX == 2:
+        # K-reduction: 2-slot level-1 fan + 2x2 corner channel
+        exact_cap = n * 2 + corner_cap * KX * ky + ntiles * CHUNK
+    else:
+        exact_cap = n * KX * ky + ntiles * CHUNK
     if big_splat_cap is not None:
         exact_cap += big_splat_cap * _kx2(tile_w) * KY2
     if pairs_cap_factor is None:
@@ -1398,12 +1505,13 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                   * (2.0 * np.pi) * jax.lax.rsqrt(detc))
         tail_in = (a_full, colors)
     with jax.named_scope("gs.bin"):
-        pack_idx, steps, visited, overflow, overflow_big, tail_slab = \
-            _bin_splats(
+        (pack_idx, steps, visited, overflow, overflow_big, tail_slab,
+         lod_kc) = _bin_splats(
                 ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
                 jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs,
                 ky=ky, max_per_tile=max_splats_per_tile,
-                big_cap=big_splat_cap, budget=lod_budget, tail=tail_in,
+                big_cap=big_splat_cap, corner_cap=corner_cap,
+                budget=lod_budget, tail=tail_in,
                 tile_w=tile_w)
     with jax.named_scope("gs.pack"):
         packed = _pack_records(records, pack_idx)
@@ -1419,9 +1527,15 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         # LOD telemetry; unvisited tiles masked — their rows are
         # uninitialized kernel memory)
         tile_exec = jnp.where(visited, texec[:-1, 0, 0], 0)
-        return img, {"overflow_pairs": overflow,
-                     "overflow_big_splats": overflow_big,
-                     "tile_exec": tile_exec}
+        stats = {"overflow_pairs": overflow,
+                 "overflow_big_splats": overflow_big,
+                 "tile_exec": tile_exec}
+        if lod_kc is not None:
+            # per-tile kept/count: update_lod_budget uses them to jump
+            # ran-dry (unsaturated, truncated) tiles straight to their
+            # full list size instead of growing 1.5x per frame
+            stats["tile_kept"], stats["tile_count"] = lod_kc
+        return img, stats
     return img
 
 
@@ -1433,18 +1547,40 @@ def num_tiles(width: int, height: int,
 
 
 def update_lod_budget(tile_exec, max_splats_per_tile: int,
-                      ntx: int, nty: int):
+                      ntx: int, nty: int,
+                      tile_kept=None, tile_count=None):
     """Next-frame per-tile LOD budget from this frame's executed depth
     (``tile_exec`` stat of :func:`render_gaussians`): 3x3-max-pooled over
     the tile grid (camera motion shifts content by tiles between frames),
     grown 1.5x + one chunk of headroom so under-budgeted tiles converge
     up geometrically, clamped to [CHUNK, LOD_DESIRE_CAP *
     max_splats_per_tile] (the per-tile desire ceiling of the pool
-    allocator)."""
-    e = tile_exec.reshape(nty, ntx)
-    ep = jnp.pad(e, 1, mode="edge")
-    pooled = jnp.max(jnp.stack(
-        [ep[i:i + nty, j:j + ntx] for i in range(3) for j in range(3)]), 0)
-    b = (pooled.astype(jnp.float32) * 1.5).astype(jnp.int32) + CHUNK
-    return jnp.clip(b, CHUNK,
-                    LOD_DESIRE_CAP * max_splats_per_tile).reshape(-1)
+    allocator).
+
+    ``tile_kept``/``tile_count`` (optional, the matching stats of the
+    same frame) separate saturation from starvation: a tile that walked
+    its whole truncated list without saturating (exec == kept < count)
+    RAN DRY — geometric growth alone needs ~7 frames to recover a 10x
+    truncation (shell silhouette tiles, tools/exp_shell.py). Its full
+    list size goes into a second DRY-NEED budget channel (output shape
+    (ntiles, 2)) that _bin_splats funds from pool SURPLUS only, so the
+    jump cannot distort the floor allocation on scenes where nothing
+    saturates (fog grazing views went 37 -> 26 dB when dry need was
+    folded into the floor — BENCHLOG round 3)."""
+
+    def pool3(a):
+        ap = jnp.pad(a.reshape(nty, ntx), 1, mode="edge")
+        return jnp.max(jnp.stack(
+            [ap[i:i + nty, j:j + ntx] for i in range(3)
+             for j in range(3)]), 0).reshape(-1)
+
+    cap = LOD_DESIRE_CAP * max_splats_per_tile
+    b = (pool3(tile_exec).astype(jnp.float32) * 1.5).astype(jnp.int32) \
+        + CHUNK
+    b = jnp.clip(b, CHUNK, cap)
+    if tile_kept is None or tile_count is None:
+        return b
+    e = tile_exec.astype(jnp.int32)
+    dry = (tile_kept > 0) & (e >= tile_kept) & (tile_kept < tile_count)
+    need = jnp.clip(pool3(jnp.where(dry, tile_count, 0)), 0, cap)
+    return jnp.stack([b, need], -1)

@@ -41,6 +41,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              cam_pos=None, ky: int | None = None,
                              max_splats_per_tile: int | None = None,
                              big_splat_cap: int | None = None,
+                             corner_cap: int | None = None,
                              lod_budget=None,
                              lod_tail: bool = False,
                              return_stats: bool = False,
@@ -85,7 +86,11 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
 
     # (max_splats_per_tile sizes its own compact pack layout inside
     # _bin_splats; cap_pairs only governs the exact/direct mode)
-    cap_pairs = n * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
+    if corner_cap is not None and ky == gs_ops.KY == 2:
+        cap_pairs = (n * 2 + corner_cap * gs_ops.KX * ky
+                     + nty_local * ntx * gs_ops.CHUNK)
+    else:
+        cap_pairs = n * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
     if big_splat_cap is not None:
         cap_pairs += big_splat_cap * gs_ops._kx2(tile_w) * gs_ops.KY2
     cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK)
@@ -138,13 +143,14 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                       * jax.lax.rsqrt(detc))
             tail_in = (a_full, records[:, gs_ops._CR:gs_ops._CB2 + 1])
 
-        pack_idx, steps, visited, overflow, overflow_big, tail_slab = \
-            gs_ops._bin_splats(records[:, gs_ops._MX],
+        (pack_idx, steps, visited, overflow, overflow_big, tail_slab,
+         lod_kc) = gs_ops._bin_splats(records[:, gs_ops._MX],
                                records[:, gs_ops._MY], rad,
                                valid & in_band, depth,
                                ntx, nty_local, cap_pairs, ky=ky,
                                max_per_tile=max_splats_per_tile,
                                big_cap=big_splat_cap,
+                               corner_cap=corner_cap,
                                budget=(budget_local if lod_budget
                                        is not None else None),
                                tail=tail_in, tile_w=tile_w)
@@ -155,7 +161,8 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                      ntx, background, tail_slab=tail_slab,
                                      tile_w=tile_w)  # (band_px, Wp, 3)
         tile_exec = jnp.where(visited, texec[:-1, 0, 0], 0)
-        return img, overflow[None], overflow_big[None], tile_exec
+        return (img, overflow[None], overflow_big[None], tile_exec,
+                lod_kc[0], lod_kc[1])
 
     spec_splat = P(axis)
     sh = getattr(cloud, "sh_rest", None)
@@ -166,18 +173,22 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         budget = jnp.asarray(budget, jnp.int32)
         full = nty_total * ntx
         if budget.shape[0] < full:
+            pad_rows = full - budget.shape[0]
             budget = jnp.concatenate(
-                [budget, jnp.zeros(full - budget.shape[0], jnp.int32)])
-    out, overflow, overflow_big, tile_exec = jax.shard_map(
-        local_render, mesh=mesh,
-        in_specs=(spec_splat,) * 5
-        + ((spec_splat,) if sh is not None else (P(),))
-        + ((P(axis),) if budget is not None else (P(),)),
-        out_specs=(P(axis, None, None), P(axis), P(axis), P(axis)),
-        check_vma=False,
-    )(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
-      cloud.colors, sh,
-      budget if budget is not None else jnp.zeros((d,), jnp.int32))
+                [budget, jnp.zeros((pad_rows, *budget.shape[1:]),
+                                   jnp.int32)])
+    out, overflow, overflow_big, tile_exec, tile_kept, tile_count = \
+        jax.shard_map(
+            local_render, mesh=mesh,
+            in_specs=(spec_splat,) * 5
+            + ((spec_splat,) if sh is not None else (P(),))
+            + ((P(axis),) if budget is not None else (P(),)),
+            out_specs=(P(axis, None, None), P(axis), P(axis), P(axis),
+                       P(axis), P(axis)),
+            check_vma=False,
+        )(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
+          cloud.colors, sh,
+          budget if budget is not None else jnp.zeros((d,), jnp.int32))
     # replicate before the crop: slicing a row-band-sharded image to the
     # unpadded height is sharding-ambiguous when bands don't divide it
     out = jax.device_put(out, jax.sharding.NamedSharding(mesh, P()))
@@ -186,11 +197,13 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         # telemetry replicated: consumers (update_lod_budget's 3x3 pool)
         # slice across the band boundary, which a row-band-sharded array
         # can't express
-        tile_exec = jax.device_put(
-            tile_exec, jax.sharding.NamedSharding(mesh, P()))
+        rep = lambda a: jax.device_put(
+            a, jax.sharding.NamedSharding(mesh, P()))
         return img, {"overflow_pairs": jnp.sum(overflow),
                      "overflow_big_splats": jnp.sum(overflow_big),
-                     "tile_exec": tile_exec}
+                     "tile_exec": rep(tile_exec),
+                     "tile_kept": rep(tile_kept),
+                     "tile_count": rep(tile_count)}
     return img
 
 

@@ -177,7 +177,7 @@ def test_pairs_cap_overflow_is_graceful():
     records = gs._make_records(ps)
     ntx, nty = 2, 6
     cap = 2 * gs.CHUNK
-    pack_idx, steps, visited, overflow, _, _ = gs._bin_splats(
+    pack_idx, steps, visited, overflow, _, _, _ = gs._bin_splats(
         ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
         jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap)
     assert int(overflow) > 0
@@ -483,3 +483,74 @@ def test_temporal_lod_budget_converges():
     np.testing.assert_allclose(a1[H // 2, W // 2], a2[H // 2, W // 2],
                                atol=1e-3)
     assert np.abs(a1 - a2).mean() < 0.01
+
+
+def test_lod_budget_dry_tiles_fill_need_channel():
+    # a tile that walked its whole truncated list without saturating
+    # (exec == kept < count) RAN DRY: its full list size goes to the
+    # dry-need channel (surplus-funded), while the floor channel keeps
+    # geometric 1.5x growth for everyone
+    ntx, nty = 4, 2
+    nt = ntx * nty
+    exec_ = np.zeros(nt, np.int32)
+    kept = np.zeros(nt, np.int32)
+    count = np.zeros(nt, np.int32)
+    exec_[0], kept[0], count[0] = 500, 500, 8000    # ran dry
+    exec_[5], kept[5], count[5] = 300, 500, 8000    # saturated at 300
+    mpt = 384
+    b = np.asarray(gs.update_lod_budget(
+        jnp.asarray(exec_), mpt, ntx, nty,
+        jnp.asarray(kept), jnp.asarray(count)))
+    assert b.shape == (nt, 2)
+    floor = b[:, 0].reshape(nty, ntx)
+    need = b[:, 1].reshape(nty, ntx)
+    # floors grow geometrically regardless of dryness
+    assert floor[0, 0] == int(500 * 1.5) + gs.CHUNK
+    assert floor[1, 1] == int(500 * 1.5) + gs.CHUNK   # 3x3 pool of tile 0
+    # dry tile 0's full count lands in the need channel, pooled to its
+    # neighbors only; the saturated tile contributes no need
+    assert need[0, 0] == 8000 and need[0, 1] == 8000 and need[1, 1] == 8000
+    assert need[0, 3] == 0 and need[1, 3] == 0
+    # without kept/count: 1-channel geometric budget
+    b2 = np.asarray(gs.update_lod_budget(
+        jnp.asarray(exec_), mpt, ntx, nty)).reshape(nty, ntx)
+    assert b2[0, 0] == int(500 * 1.5) + gs.CHUNK
+
+
+def test_corner_channel_matches_full_fan():
+    # K-reduction: the 2-slot fan + budgeted 2x2 corner channel must
+    # reproduce the 4-slot fan bit-exactly when the budget is generous
+    # (same pairs reach the same tiles; the sort ignores stream order)
+    view, proj = camera()
+    cloud = random_cloud(800, seed=9, extent=0.9,
+                         scale_range=(0.02, 0.09))
+    for tw in (32, 128):
+        base = np.asarray(render_gaussians(
+            cloud, view, proj, W, H, interpret=True, tile_w=tw))
+        kred, st = render_gaussians(
+            cloud, view, proj, W, H, interpret=True, tile_w=tw,
+            corner_cap=800, return_stats=True)
+        assert int(st["overflow_big_splats"]) == 0
+        np.testing.assert_allclose(np.asarray(kred), base, atol=1e-6,
+                                   err_msg=f"tile_w={tw}")
+        # LOD path too
+        base_l = np.asarray(render_gaussians(
+            cloud, view, proj, W, H, interpret=True, tile_w=tw,
+            max_splats_per_tile=128))
+        kred_l = np.asarray(render_gaussians(
+            cloud, view, proj, W, H, interpret=True, tile_w=tw,
+            max_splats_per_tile=128, corner_cap=800))
+        np.testing.assert_allclose(kred_l, base_l, atol=1e-6,
+                                   err_msg=f"lod tile_w={tw}")
+
+
+def test_corner_channel_overflow_counted():
+    view, proj = camera()
+    cloud = random_cloud(600, seed=4, extent=0.7,
+                         scale_range=(0.05, 0.12))
+    img, st = render_gaussians(cloud, view, proj, W, H, interpret=True,
+                               tile_w=32, corner_cap=8,
+                               return_stats=True)
+    # a tight budget on a large-splat cloud must overflow and report it
+    assert int(st["overflow_big_splats"]) > 0
+    assert np.isfinite(np.asarray(img)).all()

@@ -75,7 +75,8 @@ def test_gaussians_sharded_flagship_config_matches_single():
     # budget → next sharded frame accepts it
     ntx, nty = num_tiles(W, H, tile_w=32)
     nty = -(-nty // 8) * 8          # sharded pads rows to the mesh size
-    budget = update_lod_budget(st2["tile_exec"], 128, ntx, nty)
+    budget = update_lod_budget(st2["tile_exec"], 128, ntx, nty,
+                               st2["tile_kept"], st2["tile_count"])
     img2 = render_gaussians_sharded(cloud, view, proj, W, H, mesh,
                                     lod_budget=budget, interpret=True,
                                     **kw)

@@ -1,0 +1,141 @@
+"""Round-3 probe (VERDICT task 4): can the deferred-shading feature fetch
+move INTO the binned raster kernel as a per-step one-hot MXU matmul?
+
+The 10k-tri frame pays 6.6 ms fetching one (P, F) feature row per pixel
+(XLA row gather, ~140-210M rows/s — BENCHLOG known-bottleneck 1). Inside
+the kernel, the winner's PAIR SLOT is known per pixel; a (CHUNK, PIX)
+one-hot against the step's (CHUNK, F) feature block is a tiny MXU matmul
+— if Mosaic accepts the layout ops it needs:
+
+1. (TILE_H, TILE_W) -> (1, PIX) reshape of the winner-slot plane
+   (2D->2D minor-dim collapse — the guide only bans 1D->3D).
+2. dot_general((CHUNK, F) x (CHUNK, PIX) contracting dim 0) -> (F, PIX).
+3. rate: flat-plane kernel one-hot vs jnp.take at 2M-pixel scale.
+"""
+
+import os
+import sys
+import time
+import functools
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    print("device:", jax.devices()[0], flush=True)
+    TILE_H, TILE_W, PIX, CHUNK, F = 32, 128, 4096, 128, 24
+
+    def timeit(name, fn, *args):
+        f = jax.jit(fn)
+        try:
+            jax.block_until_ready(f(*args))
+        except Exception as e:
+            print(f"{name:48s} RAISED {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            return None
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*args))
+            best = min(best, (time.perf_counter() - t0) / ITERS * 1000)
+        print(f"{name:48s} {best:8.2f} ms/iter", flush=True)
+        return best
+
+    rng = np.random.RandomState(0)
+
+    # -- 1. legality: reshape (32,128)->(1,4096) inside a kernel ---------
+    def k_reshape(x_ref, o_ref):
+        o_ref[:] = x_ref[:].reshape(1, PIX)
+
+    def try_reshape(x):
+        return pl.pallas_call(
+            k_reshape,
+            in_specs=[pl.BlockSpec((TILE_H, TILE_W),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, PIX), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, PIX), jnp.float32),
+        )(x)
+
+    x = jnp.asarray(rng.rand(TILE_H, TILE_W), jnp.float32)
+    r = timeit("reshape (32,128)->(1,4096) in-kernel", try_reshape, x)
+    if r is not None:
+        want = np.asarray(x).reshape(1, PIX)
+        got = np.asarray(jax.jit(try_reshape)(x))
+        print("    reshape correct:", np.allclose(got, want), flush=True)
+
+    # -- 2. one-hot matmul per step on flat planes -----------------------
+    # slot plane (1, PIX) int32 in [-1, CHUNK); table (CHUNK, F)
+    def k_onehot(slot_ref, tab_ref, o_ref):
+        sl = slot_ref[:]                                   # (1, PIX) i32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PIX), 0)
+        oh = (rows == sl).astype(jnp.float32)              # (CHUNK, PIX)
+        o_ref[:] = jax.lax.dot_general(
+            tab_ref[:], oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (F, PIX)
+
+    def onehot_call(slots, tab):
+        nt = slots.shape[0]
+        return pl.pallas_call(
+            k_onehot,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec((1, PIX), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((CHUNK, F), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, F, PIX), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nt, F, PIX), jnp.float32),
+        )(slots, tab)
+
+    NT = 510                                  # 1080p tile count
+    slots = jnp.asarray(rng.randint(-1, CHUNK, (NT, PIX)).astype(np.int32))
+    tab = jnp.asarray(rng.rand(NT * CHUNK, F), jnp.float32)
+
+    def body_oh(c):
+        out = onehot_call(slots ^ (c[0] & 0), tab)
+        return out[0, :1, :1].astype(jnp.int32)
+
+    def loop(body):
+        return (lambda c: lax.fori_loop(0, ITERS, lambda i, cc: body(cc),
+                                        c), jnp.zeros(1, jnp.int32))
+    fn, c0 = loop(body_oh)
+    t = timeit(f"one-hot matmul {NT} steps x (128x{F})@PIX", fn, c0)
+    if t is not None:
+        # correctness vs numpy
+        got = np.asarray(jax.jit(onehot_call)(slots, tab))
+        sl = np.asarray(slots)
+        want = np.zeros((NT, F, PIX), np.float32)
+        for i in range(4):                    # spot-check 4 tiles
+            for p in range(0, PIX, 997):
+                s = sl[i, p]
+                if 0 <= s < CHUNK:
+                    want[i, :, p] = np.asarray(tab)[i * CHUNK + s]
+                ok = np.allclose(got[i, :, p], want[i, :, p], atol=1e-5)
+                if not ok:
+                    print(f"    MISMATCH tile {i} px {p}", flush=True)
+                    break
+        print("    one-hot spot-check done", flush=True)
+
+    # -- 3. XLA take reference at the same scale -------------------------
+    gidx = jnp.asarray(rng.randint(0, NT * CHUNK, NT * PIX)
+                       .astype(np.int32))
+
+    def body_take(c):
+        out = jnp.take(tab, (gidx + c[0]) % (NT * CHUNK), axis=0)
+        return out[:1, :1].astype(jnp.int32)
+    fn, c0 = loop(body_take)
+    timeit(f"XLA take {NT * PIX / 1e6:.1f}M rows ({F} cols)", fn, c0)
+
+
+if __name__ == "__main__":
+    main()
