@@ -84,6 +84,10 @@ def main():
     # area, and at an equal step-pool budget the LOD depth cut is
     # spatially 4x tighter (BENCHLOG round 3 tile-width A/B)
     tile_w = int(os.environ.get("RAYEATER_BENCH_TILEW", 128))
+    # K-reduction corner channel (0 = off): 2-slot level-1 fan + this
+    # many budgeted 2x2 corner-crossing splats (gs.render_gaussians)
+    corner_cap = int(os.environ.get("RAYEATER_BENCH_CORNER_CAP", 0)) \
+        or None
     # TEMPORAL adaptive LOD (default on): each frame's executed-depth
     # telemetry drives the next frame's per-tile budgets, so
     # early-saturating tiles release step-pool capacity to deep ones —
@@ -106,6 +110,7 @@ def main():
                                 pairs_cap_factor=capf,
                                 max_splats_per_tile=mpt,
                                 big_splat_cap=big_cap,
+                                corner_cap=corner_cap,
                                 lod_budget=budget,
                                 return_stats=True,
                                 interpret=interpret,
@@ -166,6 +171,7 @@ def main():
             return render_gaussians(c, view, proj, W, H,
                                     pairs_cap_factor=None,
                                     big_splat_cap=big_cap,
+                                    corner_cap=corner_cap,
                                     interpret=interpret,
                                     tile_w=tile_w)
 

@@ -742,11 +742,17 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         desired = jnp.clip(need, 0,
                            jnp.minimum(count, LOD_DESIRE_CAP
                                        * max_per_tile))
-        # pool sized so max_per_tile average pairs/tile always fit:
-        # sum(nsteps) <= pool_pairs/128 + 2*ntiles (block rounding + one
-        # boundary step per tile), hence the +2
-        cap_steps = ntiles * (_pad_to(max_per_tile, CHUNK) // CHUNK + 2)
-        pool_pairs = (cap_steps - 2 * ntiles) * CHUNK
+        # pool sized so max_per_tile average pairs/tile always fit: the
+        # ALIGNED pack layout below starts every tile at its own block
+        # boundary, so sum(nsteps) = sum(ceil(kept/128)) <=
+        # pool_pairs/128 + ntiles (block rounding only — no boundary-
+        # straddle step; one block/tile less to pack and sequence than
+        # the straddling direct layout). The pool is sized CONTINUOUSLY
+        # (ceil of ntiles*mpt/128, not ntiles*ceil(mpt/128)): mpt is a
+        # POOL AVERAGE, not a per-tile quantum, so e.g. mpt=192 costs a
+        # true 192-average pool instead of rounding up to 256.
+        cap_steps = -(-ntiles * max_per_tile // CHUNK) + ntiles
+        pool_pairs = (cap_steps - ntiles) * CHUNK
         # FLOOR-GUARANTEED allocation: every tile first receives its own
         # baseline nthr = min(count, want) — the uniform-cap share (or
         # its temporal budget) — and only the surplus pool funds the
@@ -779,47 +785,85 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         cap_steps = cap_pairs // CHUNK + ntiles  # ≤1 boundary step/tile
         maxblk = cap_pairs // CHUNK - 1
 
-    # DIRECT chunk layout: kernel step s processes one contiguous
-    # CHUNK-block of the sorted pair array, masked to the owning tile's
-    # BLOCK-LOCAL [lo, hi) row range — blocks straddling a tile boundary
-    # run once per adjacent tile with complementary masks.
-    end = startc + kept
-    first_block = startc // CHUNK
-    nsteps = jnp.where(kept > 0,
-                       (end + CHUNK - 1) // CHUNK - first_block, 0)
-    step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                jnp.cumsum(nsteps).astype(jnp.int32)])
-    total_steps = step_off[-1]
-    sid = jnp.arange(cap_steps, dtype=jnp.int32)
-    owner = jnp.clip(jnp.searchsorted(step_off, sid, side="right")
-                     .astype(jnp.int32) - 1, 0, ntiles - 1)
-    live_step = sid < total_steps
-    step_tile = jnp.where(live_step, owner, ntiles)
-    step_first = ((sid == step_off[owner]) & live_step).astype(jnp.int32)
-    # dead slots get DISTINCT block ids: gathers with repeated indices run
-    # ~1.7x slower than distinct ones on TPU (write-combining serializes;
-    # measured tools/exp probes, BENCHLOG round 2)
-    orig_block = jnp.where(
-        live_step,
-        jnp.clip(first_block[owner] + (sid - step_off[owner]), 0, maxblk),
-        sid % (maxblk + 1))
-    blk_base = orig_block * CHUNK
-    step_lo = jnp.where(live_step,
-                        jnp.clip(startc[owner] - blk_base, 0, CHUNK), 0)
-    step_hi = jnp.where(live_step,
-                        jnp.clip(end[owner] - blk_base, 0, CHUNK), 0)
-
     if max_per_tile is not None:
-        # pack only the blocks the steps touch, at BLOCK granularity: one
-        # (cap_steps, CHUNK) row gather of 128-contiguous-int rows — ~40x
-        # faster than the former fixed-stride per-element gather
-        # (tools/exp_bin.py). The pack array is then in STEP order: step
-        # s reads pack block s.
+        # ALIGNED chunk layout: every tile's kept list is repositioned to
+        # start at its own pack-block boundary, so a block belongs to
+        # exactly ONE tile (lo = 0 always) — no boundary-straddle step,
+        # one block/tile less to gather and sequence than the direct
+        # layout (at tile_w=32 that was 2040 steps and 261k packed rows
+        # of pure overhead per frame). Step j of tile t covers sorted
+        # rows [startc_t + j*128, +128): built by gathering the two
+        # covering block-rows (2*cap_steps cheap 128-int rows) and
+        # rotating each row left by (startc_t mod 128) with 7
+        # branch-free conditional rolls. The records pack stays ONE
+        # block-granular row gather in step order (~40x faster than
+        # per-element packing, tools/exp_bin.py).
+        nsteps = (kept + CHUNK - 1) // CHUNK
+        step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                    jnp.cumsum(nsteps).astype(jnp.int32)])
+        total_steps = step_off[-1]
+        sid = jnp.arange(cap_steps, dtype=jnp.int32)
+        owner = jnp.clip(jnp.searchsorted(step_off, sid, side="right")
+                         .astype(jnp.int32) - 1, 0, ntiles - 1)
+        live_step = sid < total_steps
+        step_tile = jnp.where(live_step, owner, ntiles)
+        step_first = ((sid == step_off[owner])
+                      & live_step).astype(jnp.int32)
+        j = sid - step_off[owner]
+        nblk = mpad // CHUNK
+        # dead slots get DISTINCT block ids: gathers with repeated
+        # indices run ~1.7x slower on TPU (BENCHLOG round 2)
+        base = jnp.where(live_step, startc[owner] + j * CHUNK,
+                         (sid % nblk) * CHUNK)
+        step_lo = jnp.zeros(cap_steps, jnp.int32)
+        step_hi = jnp.where(live_step,
+                            jnp.clip(kept[owner] - j * CHUNK, 0, CHUNK),
+                            0)
+        s2d = sorted_splat.reshape(nblk, CHUNK)
+        b0 = base // CHUNK
+        brows = jnp.stack([b0, jnp.minimum(b0 + 1, nblk - 1)], -1)
+        rows = jnp.take(s2d, brows.reshape(-1), axis=0) \
+                  .reshape(cap_steps, 2 * CHUNK)
+        sh = base % CHUNK
+        k = 1
+        while k < CHUNK:
+            rows = jnp.where((sh & k)[:, None] > 0,
+                             jnp.roll(rows, -k, axis=1), rows)
+            k *= 2
+        pack_idx = rows[:, :CHUNK].reshape(-1)
         step_block = sid
-        pack_idx = jnp.take(sorted_splat.reshape(-1, CHUNK), orig_block,
-                            axis=0).reshape(-1)
     else:
-        # the pack array IS the sorted head: one slice, no gather
+        # DIRECT chunk layout (exact mode): kernel step s processes one
+        # contiguous CHUNK-block of the sorted pair array itself, masked
+        # to the owning tile's BLOCK-LOCAL [lo, hi) row range — blocks
+        # straddling a tile boundary run once per adjacent tile with
+        # complementary masks, and the pack array IS the sorted head
+        # (one slice, no gather).
+        end = startc + kept
+        first_block = startc // CHUNK
+        nsteps = jnp.where(kept > 0,
+                           (end + CHUNK - 1) // CHUNK - first_block, 0)
+        step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                    jnp.cumsum(nsteps).astype(jnp.int32)])
+        total_steps = step_off[-1]
+        sid = jnp.arange(cap_steps, dtype=jnp.int32)
+        owner = jnp.clip(jnp.searchsorted(step_off, sid, side="right")
+                         .astype(jnp.int32) - 1, 0, ntiles - 1)
+        live_step = sid < total_steps
+        step_tile = jnp.where(live_step, owner, ntiles)
+        step_first = ((sid == step_off[owner])
+                      & live_step).astype(jnp.int32)
+        orig_block = jnp.where(
+            live_step,
+            jnp.clip(first_block[owner] + (sid - step_off[owner]), 0,
+                     maxblk),
+            sid % (maxblk + 1))
+        blk_base = orig_block * CHUNK
+        step_lo = jnp.where(live_step,
+                            jnp.clip(startc[owner] - blk_base, 0, CHUNK),
+                            0)
+        step_hi = jnp.where(live_step,
+                            jnp.clip(end[owner] - blk_base, 0, CHUNK), 0)
         step_block = orig_block
         pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
     steps = (step_tile, step_first, step_block, step_lo, step_hi)
