@@ -61,11 +61,15 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--static-camera", action="store_true",
                     help="config 4 (static scene) instead of flythrough")
-    ap.add_argument("--max-per-tile", type=int, default=384,
-                    help="per-tile LOD: keep the nearest N splats per "
-                         "32x128 tile (BASELINE config 5's 'LOD culling'; "
-                         "67 dB vs exact on the 1M bench scene — "
-                         "BENCHLOG). 0 = exact")
+    ap.add_argument("--max-per-tile", type=int, default=192,
+                    help="per-tile LOD step-pool average (pairs/tile); "
+                         "temporal budgets allocate it by need each "
+                         "frame (57 FPS @ min 42.5 dB on the 1M bench "
+                         "flythrough at the defaults — BENCHLOG round "
+                         "3). 0 = exact")
+    ap.add_argument("--tile-w", type=int, default=32,
+                    help="composite tile width (32 = footprint-tight, "
+                         "the round-3 flagship config)")
     ap.add_argument("--cap-factor", type=int, default=4,
                     help="pair buffer size in pairs/splat (0 = exact "
                          "worst case)")
@@ -98,16 +102,34 @@ def main(argv=None):
     # rather than baked into the executable as constants
     cloud = jax.device_put(cloud)
 
-    def frame_t(t):
+    from ray_eater_tpu.ops.gs import num_tiles, update_lod_budget
+    ntx, nty = num_tiles(W, H, tile_w=args.tile_w)
+    mpt = args.max_per_tile or None
+
+    def frame_t(t, budget=None):
         view, proj, eye = orbit_camera(t, aspect=W / H)
         return render_gaussians(cloud, view, proj, W, H,
                                 background=(0.0, 0.0, 0.0),
                                 cam_pos=eye,   # view-dependent SH colors
-                                max_splats_per_tile=args.max_per_tile
-                                or None,
+                                max_splats_per_tile=mpt,
                                 pairs_cap_factor=args.cap_factor or None,
                                 big_splat_cap=args.big_splat_cap or None,
+                                return_stats=bool(mpt),
+                                lod_budget=budget,
+                                tile_w=args.tile_w,
                                 interpret=interpret)
+
+    if mpt:
+        # temporal adaptive LOD: previous frame's executed depth + dry
+        # need drive this frame's per-tile budgets (bench.py shape)
+        def frame_budgeted(t, budget):
+            img, stats = frame_t(t, budget)
+            nb = update_lod_budget(stats["tile_exec"], mpt, ntx, nty,
+                                   stats["tile_kept"],
+                                   stats["tile_count"])
+            return img, nb
+    else:
+        frame_budgeted = None
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -118,13 +140,20 @@ def main(argv=None):
     # host dispatches through a tunnel both cost ~100 ms AND report
     # async-skewed timings)
     dt0 = 0.0 if args.static_camera else 1.0 / 60.0
-    frames = re.render_animation(frame_t, args.frames, dt=dt0)
+    if frame_budgeted is not None:
+        import jax.numpy as jnp
+        b0 = jnp.stack([jnp.full((ntx * nty,), mpt, jnp.int32),
+                        jnp.zeros((ntx * nty,), jnp.int32)], -1)
+        run = lambda: re.render_animation(frame_budgeted, args.frames,
+                                          dt=dt0, carry=b0)
+    else:
+        run = lambda: re.render_animation(frame_t, args.frames, dt=dt0)
+    frames = run()
     jax.block_until_ready(frames)      # warm-up compile
     log.info("compiled %d-frame gs scan on %s", args.frames, ctx.device)
 
     t0 = time.perf_counter()
-    frames = jax.block_until_ready(
-        re.render_animation(frame_t, args.frames, dt=dt0))
+    frames = jax.block_until_ready(run())
     dt = time.perf_counter() - t0
 
     save_png(os.path.join(args.out, "frame_last.png"),
@@ -152,23 +181,40 @@ def _serve_live(args, cloud, ctx, interpret):
     from ray_eater_tpu.core.swapchain import encode_present
     from ray_eater_tpu.io.viewer import LiveViewer
 
+    from ray_eater_tpu.ops.gs import num_tiles, update_lod_budget
+    mpt = args.max_per_tile or None
+
     def build(W, H):
-        def frame(az, hgt, rad):
+        ntx, nty = num_tiles(W, H, tile_w=args.tile_w)
+
+        def frame(az, hgt, rad, budget):
             view, proj, eye = orbit_at(az, hgt, rad, aspect=W / H)
-            img = render_gaussians(cloud, view, proj, W, H,
+            out = render_gaussians(cloud, view, proj, W, H,
                                    cam_pos=eye,
-                                   max_splats_per_tile=args.max_per_tile
-                                   or None,
+                                   max_splats_per_tile=mpt,
                                    pairs_cap_factor=args.cap_factor
                                    or None,
                                    big_splat_cap=args.big_splat_cap
                                    or None,
+                                   return_stats=bool(mpt),
+                                   lod_budget=(budget if mpt else None),
+                                   tile_w=args.tile_w,
                                    interpret=interpret)
-            return encode_present(img, W, H)
-        return jax.jit(frame)
+            if mpt:
+                img, stats = out
+                nb = update_lod_budget(stats["tile_exec"], mpt, ntx,
+                                       nty, stats["tile_kept"],
+                                       stats["tile_count"])
+            else:
+                img, nb = out, budget
+            return encode_present(img, W, H), nb
+
+        b0 = jnp.stack([jnp.full((ntx * nty,), mpt or 0, jnp.int32),
+                        jnp.zeros((ntx * nty,), jnp.int32)], -1)
+        return jax.jit(frame), b0
 
     W, H = args.width, args.height
-    fj = build(W, H)
+    fj, budget = build(W, H)
     viewer = LiveViewer(port=args.serve)
     log.info("live viewer: http://0.0.0.0:%d/ (drag orbits, wheel zooms, "
              "Escape quits)", viewer.port)
@@ -201,10 +247,10 @@ def _serve_live(args, cloud, ctx, interpret):
                 if (w2, h2) != (W, H):
                     W, H = w2, h2
                     log.info("resize -> %dx%d (recompiling)", W, H)
-                    fj = build(W, H)
-            viewer.present(np.asarray(fj(jnp.float32(az),
-                                         jnp.float32(hgt),
-                                         jnp.float32(rad))))
+                    fj, budget = build(W, H)
+            frame_u8, budget = fj(jnp.float32(az), jnp.float32(hgt),
+                                  jnp.float32(rad), budget)
+            viewer.present(np.asarray(frame_u8))
             nframes += 1
     except KeyboardInterrupt:
         pass
