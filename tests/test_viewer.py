@@ -117,7 +117,7 @@ def test_gs_viewer_serve_loop_end_to_end():
 
     args = argparse.Namespace(width=256, height=256, serve=0,
                               static_camera=True, max_per_tile=0,
-                              cap_factor=0, big_splat_cap=0)
+                              cap_factor=0, big_splat_cap=0, tile_w=32)
     cloud = random_cloud(64, seed=3, extent=0.5, scale_range=(0.05, 0.1))
     ctx = re.Context()
 
