@@ -77,13 +77,16 @@ def main():
     # (gs._bin_splats: pooled depth harmonization + proportional global
     # scaling — same static cost as the round-2 count cap, fewer
     # artifacts). RAYEATER_BENCH_MPT=0 renders exact; the PSNR gate below
-    # prints the fidelity of whatever config runs.
-    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", 384)) or None
+    # prints the fidelity of whatever config runs. Per-scene defaults
+    # from the round-3 ladder (BENCHLOG): fog 176 (71.6 FPS @ min
+    # 37.2 dB), shell 640 (32.5 FPS @ min 42.1 dB); 384 elsewhere.
+    mpt_default = {"fog": 176, "shell": 640}.get(scene, 384)
+    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", mpt_default)) or None
     # composite tile width (footprint-tight compositing knob): narrower
     # tiles make per-pair cost track splat footprint instead of tile
     # area, and at an equal step-pool budget the LOD depth cut is
     # spatially 4x tighter (BENCHLOG round 3 tile-width A/B)
-    tile_w = int(os.environ.get("RAYEATER_BENCH_TILEW", 128))
+    tile_w = int(os.environ.get("RAYEATER_BENCH_TILEW", 32))
     # K-reduction corner channel (0 = off): 2-slot level-1 fan + this
     # many budgeted 2x2 corner-crossing splats (gs.render_gaussians)
     corner_cap = int(os.environ.get("RAYEATER_BENCH_CORNER_CAP", 0)) \

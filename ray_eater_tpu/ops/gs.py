@@ -742,17 +742,16 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         desired = jnp.clip(need, 0,
                            jnp.minimum(count, LOD_DESIRE_CAP
                                        * max_per_tile))
-        # pool sized so max_per_tile average pairs/tile always fit: the
-        # ALIGNED pack layout below starts every tile at its own block
-        # boundary, so sum(nsteps) = sum(ceil(kept/128)) <=
-        # pool_pairs/128 + ntiles (block rounding only — no boundary-
-        # straddle step; one block/tile less to pack and sequence than
-        # the straddling direct layout). The pool is sized CONTINUOUSLY
-        # (ceil of ntiles*mpt/128, not ntiles*ceil(mpt/128)): mpt is a
-        # POOL AVERAGE, not a per-tile quantum, so e.g. mpt=192 costs a
-        # true 192-average pool instead of rounding up to 256.
-        cap_steps = -(-ntiles * max_per_tile // CHUNK) + ntiles
-        pool_pairs = (cap_steps - ntiles) * CHUNK
+        # the REAL static cost is BLOCKS (grid steps + packed rows =
+        # cap_steps x 128 regardless of how full each block is), so the
+        # pool is sized and granted in block units: cap_steps =
+        # ceil(ntiles*mpt/128) blocks, and the pair-level grant below is
+        # snapped to block granularity by a largest-remainder pass —
+        # packed rows carry ~100% content instead of ~60% (the old
+        # +ntiles ceil-reserve was 2040 blocks = 261k gathered rows of
+        # padding per frame at tile_w=32).
+        cap_steps = -(-ntiles * max_per_tile // CHUNK)
+        pool_pairs = cap_steps * CHUNK
         # FLOOR-GUARANTEED allocation: every tile first receives its own
         # baseline nthr = min(count, want) — the uniform-cap share (or
         # its temporal budget) — and only the surplus pool funds the
@@ -771,6 +770,25 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
             jnp.sum(extra), 1).astype(jnp.float32), 0.0, 1.0)
         kept = floor + (extra.astype(jnp.float32) * escale
                         ).astype(jnp.int32)
+        # BLOCK SNAP (largest remainder): grant whole 128-pair blocks so
+        # sum(ceil(kept/128)) == sum(granted blocks) <= cap_steps
+        # exactly. Tiles whose whole grant is sub-block ("must" tiles)
+        # sort FIRST — a block must be spent on them anyway, so they
+        # receive a full block of content; after them, the largest
+        # fractional remainders round up until the block budget is
+        # spent, the rest round down. Zero-sum at the same pool.
+        kq = (kept // CHUNK) * CHUNK
+        rem = kept - kq
+        must = (kq == 0) & (kept > 0)
+        nup = cap_steps - jnp.sum(kq) // CHUNK
+        prio = jnp.where(must, rem + CHUNK,
+                         jnp.where(rem > 0, rem, -1))
+        order = jnp.argsort(-prio)
+        rank = jnp.zeros(ntiles, jnp.int32).at[order].set(
+            jnp.arange(ntiles, dtype=jnp.int32))
+        bonus = (rank < nup) & (prio > 0)
+        kept = jnp.where(bonus,
+                         jnp.minimum(desired, kq + CHUNK), kq)
         overflow = jnp.sum(count - kept)
         maxblk = mpad // CHUNK - 1
     else:
@@ -1626,5 +1644,8 @@ def update_lod_budget(tile_exec, max_splats_per_tile: int,
         return b
     e = tile_exec.astype(jnp.int32)
     dry = (tile_kept > 0) & (e >= tile_kept) & (tile_kept < tile_count)
-    need = jnp.clip(pool3(jnp.where(dry, tile_count, 0)), 0, cap)
+    # need is NOT 3x3-pooled: pooling inflated sum(extra) ~9x and spread
+    # the surplus so thin the genuinely starved tiles gained little
+    # (floor channel pooling already covers camera motion)
+    need = jnp.clip(jnp.where(dry, tile_count, 0), 0, cap)
     return jnp.stack([b, need], -1)

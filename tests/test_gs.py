@@ -507,10 +507,11 @@ def test_lod_budget_dry_tiles_fill_need_channel():
     # floors grow geometrically regardless of dryness
     assert floor[0, 0] == int(500 * 1.5) + gs.CHUNK
     assert floor[1, 1] == int(500 * 1.5) + gs.CHUNK   # 3x3 pool of tile 0
-    # dry tile 0's full count lands in the need channel, pooled to its
-    # neighbors only; the saturated tile contributes no need
-    assert need[0, 0] == 8000 and need[0, 1] == 8000 and need[1, 1] == 8000
-    assert need[0, 3] == 0 and need[1, 3] == 0
+    # dry tile 0's full count lands in the need channel UNPOOLED (the
+    # surplus concentrates on the starved tile itself — pooling diluted
+    # it 9x, BENCHLOG round 3); the saturated tile contributes no need
+    assert need[0, 0] == 8000
+    assert need[0, 1] == 0 and need[1, 1] == 0 and need[1, 3] == 0
     # without kept/count: 1-channel geometric budget
     b2 = np.asarray(gs.update_lod_budget(
         jnp.asarray(exec_), mpt, ntx, nty)).reshape(nty, ntx)

@@ -136,6 +136,47 @@ def main():
     fn, c0 = loop(body_take)
     timeit(f"XLA take {NT * PIX / 1e6:.1f}M rows ({F} cols)", fn, c0)
 
+    # -- 4. factorized per-tile texture fetch (VERDICT task 4, texture
+    #       9.9 ms): per tile, texels come from a 64x64 region; fetch =
+    #       one-hot ROW contraction (4096px x 64) @ (64, 64*C) then a
+    #       per-pixel COLUMN select — all dense VPU/MXU math, no gather.
+    R, C = 64, 4
+    regions = jnp.asarray(rng.rand(NT, R, R * C), jnp.float32)
+    t_y = jnp.asarray(rng.randint(0, R, (NT, PIX)).astype(np.int32))
+    t_x = jnp.asarray(rng.randint(0, R, (NT, PIX)).astype(np.int32))
+
+    def body_fact(c):
+        ty = (t_y + (c[0] & 0))
+        oh = (ty[:, :, None] == jnp.arange(R, dtype=jnp.int32)
+              ).astype(jnp.float32)                     # (NT, PIX, R)
+        rowsel = jnp.einsum("tpr,trf->tpf", oh, regions)  # (NT,PIX,R*C)
+        rs = rowsel.reshape(NT, PIX, R, C)
+        ohx = (t_x[:, :, None] == jnp.arange(R, dtype=jnp.int32)
+               ).astype(jnp.float32)                    # (NT, PIX, R)
+        out = jnp.einsum("tprc,tpr->tpc", rs, ohx)      # (NT, PIX, C)
+        return out[:1, :1, :1].astype(jnp.int32)
+    fn, c0 = loop(body_fact)
+    timeit(f"factorized region fetch {NT}x{PIX}px ({R}x{R} region, "
+           f"{C} ch)", fn, c0)
+
+    # same, but the row contraction via MXU-shaped matmul per tile and
+    # the column select via a VPU dot (batched) — flattened tiles
+    def body_fact2(c):
+        ty = (t_y + (c[0] & 0)).reshape(NT * PIX)
+        tx = t_x.reshape(NT * PIX)
+        # gather instead: one take of NT*PIX rows from (NT*R, R*C) —
+        # row-count reference for the region-local fetch
+        flat = regions.reshape(NT * R, R * C)
+        rows = jnp.take(flat, ty + (jnp.arange(NT * PIX) // PIX) * R,
+                        axis=0)                         # (NT*PIX, R*C)
+        rs = rows.reshape(NT * PIX, R, C)
+        ohx = (tx[:, None] == jnp.arange(R, dtype=jnp.int32)
+               ).astype(jnp.float32)
+        out = jnp.einsum("prc,pr->pc", rs, ohx)
+        return out[:1, :1].astype(jnp.int32)
+    fn, c0 = loop(body_fact2)
+    timeit("row-take + column one-hot (hybrid)", fn, c0)
+
 
 if __name__ == "__main__":
     main()

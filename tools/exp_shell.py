@@ -75,59 +75,24 @@ def main():
     errp[:H, :W] = err
     tile_err = errp.reshape(nty, th, ntx, tw).mean((1, 3))
 
-    # binning stats for the same frame (jnp path, no kernel needed)
+    # binning stats for the same frame, straight from _bin_splats' own
+    # (kept, count) return — no duplicated allocator math to drift
     ps = gs.project_gaussians(cloud.means, cloud.scales, cloud.quats,
                               cloud.opacities, cloud.colors, view, proj,
                               W, H)
-    valid = jnp.isfinite(ps.depth)
-    mx, my = ps.mean2d[:, 0], ps.mean2d[:, 1]
-
-    # replicate _bin_splats' pool math with full intermediates
-    n = mx.shape[0]
     ntiles = ntx * nty
-    tile_bits = max(int(ntiles).bit_length(), 1)
-    db = min(31 - tile_bits, 22)
-    qmax = (1 << db) - 1
-    depth = ps.depth
-    dfin = jnp.where(valid, depth, jnp.inf)
-    dmin = jnp.min(jnp.where(valid, depth, jnp.inf))
-    dmax = jnp.max(jnp.where(valid, depth, -jnp.inf))
-    span = jnp.maximum(dmax - dmin, 1e-9)
-    qd = jnp.clip((dfin - dmin) / span * qmax, 0.0, float(qmax))
-    qd = jnp.where(valid, jnp.clip(qd.astype(jnp.int32), 0, qmax), 0)
-    keys = gs._emit_fan(mx, my, ps.radius.astype(jnp.float32), valid, qd,
-                        gs.KX, gs.KY, ntx, nty, db, tw)
-    key_flat = jnp.sort(jnp.concatenate(keys))
-    tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
-    start = jnp.searchsorted(key_flat, tvec << db, side="left")
-    startc, count = start[:-1], start[1:] - start[:-1]
-    want = mpt
-    nthr = jnp.minimum(count, want)
-    m = key_flat.shape[0]
-    cut_i = jnp.clip(startc + nthr - 1, 0, m - 1)
-    cut_qd = jnp.where(count > 0, jnp.take(key_flat, cut_i) & qmax, 0)
-    g = cut_qd.reshape(nty, ntx)
-    gp = jnp.pad(g, 1, mode="edge")
-    pooled = jnp.max(jnp.stack(
-        [gp[i:i + nty, j:j + ntx] for i in range(3) for j in range(3)]),
-        0).reshape(-1)
-    kend = jnp.searchsorted(key_flat, (tvec[:-1] << db) | pooled,
-                            side="right")
-    desired = jnp.clip(jnp.maximum(nthr, kend - startc), 0,
-                       jnp.minimum(count, gs.LOD_DESIRE_CAP * mpt))
     CHUNK = gs.CHUNK
-    cap_steps = ntiles * (gs._pad_to(mpt, CHUNK) // CHUNK + 2)
-    pool_pairs = (cap_steps - 2 * ntiles) * CHUNK
-    floor = jnp.minimum(nthr, desired)
-    fscale = jnp.minimum(1.0, pool_pairs / jnp.maximum(
-        jnp.sum(floor).astype(jnp.float32), 1.0))
-    floor = jnp.minimum((floor.astype(jnp.float32) * fscale)
-                        .astype(jnp.int32), floor)
-    extra = desired - floor
-    spare = (pool_pairs - jnp.sum(floor)).astype(jnp.float32)
-    scale = jnp.clip(spare / jnp.maximum(jnp.sum(extra), 1)
-                     .astype(jnp.float32), 0.0, 1.0)
-    kept = floor + (extra.astype(jnp.float32) * scale).astype(jnp.int32)
+    cap = gs._pad_to(cloud.num_splats * gs.KX * gs.KY
+                     + ntiles * CHUNK, CHUNK)
+    _, _, _, overflow, _, _, (kept, count) = gs._bin_splats(
+        ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
+        jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap,
+        max_per_tile=mpt, tile_w=tw)
+    cap_steps = -(-ntiles * mpt // CHUNK)
+    pool_pairs = cap_steps * CHUNK
+    desired = kept          # the snap grants at most `desired`
+    cut_qd = pooled = jnp.zeros_like(kept)   # no longer replicated
+    scale = jnp.float32(1.0)
 
     count, desired, kept = (np.asarray(x) for x in (count, desired, kept))
     cut_qd, pooled = np.asarray(cut_qd), np.asarray(pooled)
