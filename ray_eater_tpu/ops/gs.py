@@ -499,7 +499,8 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 max_per_tile: int | None = None,
                 big_cap: int | None = None,
                 corner_cap: int | None = None,
-                budget=None, tail=None, tile_w: int = TILE_W):
+                budget=None, tail=None, tile_w: int = TILE_W,
+                records=None):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
@@ -520,7 +521,16 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     * exact/direct (``max_per_tile=None``): kernel steps stream the
       contiguous CHUNK-blocks of the sorted pair array itself; the pack
       array IS the sorted order (one slice, no gather). ``cap_pairs``
-      drops tail pairs positionally on overflow.
+      drops tail pairs positionally on overflow. When ``records`` is
+      given, the record columns RIDE THE SORT as f32 payload operands
+      (PAYLOAD-SORT): a 4.2M-slot unstable sort carrying 10 payload
+      columns costs ~5.3 ms on v5e while the row gather it replaces
+      costs ~30 ms at 4.2M x 12 (tools/exp_gather.py) — sort passes
+      stream HBM sequentially, gathers pay random row access. The first
+      returned value is then the packed (cap_pairs, _ROWS) record array
+      itself instead of pack indices. Only the non-differentiable path
+      may use this (the training path needs the ``jnp.take`` pack whose
+      VJP is the gradient scatter).
     * capped direct (``max_per_tile=m``): each tile keeps only its
       nearest m pairs (``hi = startc + min(count, m)`` — depth-ordered
       LOD, farthest splats dropped first) and the pack array gathers only
@@ -540,7 +550,8 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     slab aux rides the sort as one extra int32 payload, and the pairs the
     LOD drops are summed per tile into a homogeneous slab.
 
-    Returns (pack_idx (CAP,) int32 splat indices, steps — the
+    Returns (pack_idx (CAP,) int32 splat indices — or, with ``records``
+    in exact mode, the packed (CAP, _ROWS) record array itself, steps — the
     (tile, first, block, lo, hi) scalar-prefetch tuple, visited (ntiles,)
     bool, overflow (scalar, in pairs), overflow_big (scalar: large splats
     beyond big_cap), tail_slab — None, or (tail_a (ntiles,),
@@ -589,6 +600,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         lvl1 = small & ~corner
         keys = _emit_pair(mx, my, r, lvl1, qd, ntx, nty, db, tile_w)
         ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+        pay_src = [(None, len(keys))]
         ccsum = jnp.cumsum(corner.astype(jnp.int32))
         ncorner = ccsum[-1]
         overflow_corner = jnp.maximum(ncorner - corner_cap, 0)
@@ -606,6 +618,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         keys = _emit_fan(mx, my, r, small, qd, KX, ky, ntx, nty, db,
                          tile_w)
         ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+        pay_src = [(None, len(keys))]
         corner_extra = None
     if tail is not None:
         sent1 = (ntx * nty) << db
@@ -617,6 +630,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         ckeys, ccidx = corner_extra
         keys += ckeys
         ids.append(jnp.tile(ccidx, len(ckeys)))
+        pay_src.append((ccidx, len(ckeys)))
         if tail is not None:
             np_c = sum((k != sent1).astype(jnp.int32) for k in ckeys)
             aux_c = _pack_tail_aux(jnp.take(tail[0], ccidx),
@@ -643,6 +657,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                           ntx, nty, db, tile_w)
         keys += bkeys
         ids.append(jnp.tile(bidx, len(bkeys)))
+        pay_src.append((bidx, len(bkeys)))
         if tail is not None:
             np_big = sum((k != sent1).astype(jnp.int32) for k in bkeys)
             aux_big = _pack_tail_aux(jnp.take(tail[0], bidx),
@@ -667,7 +682,31 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     # rides as ONE extra payload (sorting is far cheaper than any
     # post-sort per-pair gather, tools/exp_gather.py).
     sorted_aux = None
-    if tail is not None:
+    sorted_splat = None
+    sorted_cols = None
+    payload = records is not None and max_per_tile is None
+    if payload:
+        # PAYLOAD-SORT: the 9 real record columns ride the sort instead
+        # of a post-sort (CAP, 12) row gather — sequential sort passes
+        # vs random row access, ~6x cheaper at 4M pairs
+        # (tools/exp_gather.py). The splat-id payload is dropped: exact
+        # mode's pack was its only consumer.
+        nreal = _CB2 + 1
+        tabs = [(records if idx is None
+                 else jnp.take(records, idx, axis=0), k)
+                for idx, k in pay_src]
+        paycols = tuple(
+            jnp.concatenate([jnp.tile(tab[:, c], k) for tab, k in tabs])
+            for c in range(nreal))
+        ops = (key_flat,) + paycols
+        if tail is not None:
+            ops += (jnp.concatenate(auxs),)
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        sorted_key = out[0]
+        sorted_cols = out[1:1 + nreal]
+        if tail is not None:
+            sorted_aux = out[-1]
+    elif tail is not None:
         sorted_key, sorted_splat, sorted_aux = jax.lax.sort(
             (key_flat, splat_of_pair, jnp.concatenate(auxs)),
             num_keys=1, is_stable=False)
@@ -676,8 +715,9 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
             (key_flat, splat_of_pair), num_keys=1, is_stable=False)
     mpad = _pad_to(m, CHUNK)
     if mpad > m:
-        sorted_splat = jnp.concatenate(
-            [sorted_splat, jnp.zeros(mpad - m, jnp.int32)])
+        if sorted_splat is not None:
+            sorted_splat = jnp.concatenate(
+                [sorted_splat, jnp.zeros(mpad - m, jnp.int32)])
         if sorted_aux is not None:
             sorted_aux = jnp.concatenate(
                 [sorted_aux, jnp.zeros(mpad - m, jnp.int32)])
@@ -883,7 +923,21 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         step_hi = jnp.where(live_step,
                             jnp.clip(end[owner] - blk_base, 0, CHUNK), 0)
         step_block = orig_block
-        pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
+        if payload:
+            # assemble (cap_pairs, _ROWS) packed records from the sorted
+            # payload columns; pairs past cap_pairs (positional overflow)
+            # and the 3 pad columns are zeros
+            def _fit(c):
+                if c.shape[0] >= cap_pairs:
+                    return jax.lax.slice(c, (0,), (cap_pairs,))
+                return jnp.concatenate(
+                    [c, jnp.zeros(cap_pairs - c.shape[0], c.dtype)])
+            zero = jnp.zeros(cap_pairs, jnp.float32)
+            pack_idx = jnp.stack(
+                [_fit(c) for c in sorted_cols]
+                + [zero] * (_ROWS - len(sorted_cols)), -1)
+        else:
+            pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
     steps = (step_tile, step_first, step_block, step_lo, step_hi)
     visited = kept > 0                                       # (ntiles,)
     tail_slab = None
@@ -1574,9 +1628,15 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                 ky=ky, max_per_tile=max_splats_per_tile,
                 big_cap=big_splat_cap, corner_cap=corner_cap,
                 budget=lod_budget, tail=tail_in,
-                tile_w=tile_w)
+                tile_w=tile_w,
+                records=(records if max_splats_per_tile is None
+                         else None))
     with jax.named_scope("gs.pack"):
-        packed = _pack_records(records, pack_idx)
+        # exact mode: records rode the sort as payload columns and
+        # pack_idx already IS the packed array (see _bin_splats); the
+        # LOD layout packs via one block-granular row gather
+        packed = (pack_idx if max_splats_per_tile is None
+                  else _pack_records(records, pack_idx))
 
     with jax.named_scope("gs.composite"):
         r, g, b, t, texec = _composite_call(packed, steps, nty, ntx,
