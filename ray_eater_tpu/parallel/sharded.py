@@ -46,7 +46,10 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              lod_tail: bool = False,
                              return_stats: bool = False,
                              interpret: bool = False,
-                             tile_w: int | None = None) -> jnp.ndarray:
+                             tile_w: int | None = None,
+                             splat_exchange: str = "all_gather",
+                             ring_budget: int | None = None
+                             ) -> jnp.ndarray:
     """Sharded GaussianCloud render → (height, width, 3) on the mesh.
     Feature parity with :func:`ray_eater_tpu.ops.gs.render_gaussians`:
     ``cam_pos`` enables view-dependent SH colors, ``ky`` the span/radius
@@ -68,6 +71,23 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     Splats must be divisible by mesh size (pad the cloud if needed); the
     framebuffer row-band split requires padded height divisible by
     D*TILE_H.
+
+    ``splat_exchange`` selects how projected records reach the devices
+    whose row bands need them:
+
+    * ``"all_gather"`` (default): ONE tiled ICI all_gather replicates
+      the (N, 16) packet table — minimal latency, but every device
+      holds all N records (the HBM wall at 10M+ splats).
+    * ``"ring"``: the (N/D, 16) shard packets circulate the ICI ring
+      D-1 hops (``ppermute``); each device compacts only the splats
+      whose footprint touches its band into a fixed ``ring_budget``-row
+      buffer (scatter-free cumsum+searchsorted compaction, the
+      big-splat-channel pattern). Same total ICI traffic as the
+      all_gather, but peak memory is N/D + ring_budget rows. Splats
+      beyond the budget are dropped whole and counted in
+      ``overflow_big_splats``. ``ring_budget`` defaults to 2·N/D —
+      generous for D≥4 bands whose in-band fraction is ~1/D plus the
+      apron.
     """
     if ky is None:
         ky = gs_ops.KY
@@ -84,13 +104,21 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     if n % d:
         raise ValueError(f"splat count {n} not divisible by mesh size {d}")
 
+    if splat_exchange not in ("all_gather", "ring"):
+        raise ValueError(f"unknown splat_exchange {splat_exchange!r}")
+    ring = splat_exchange == "ring"
+    if ring:
+        ring_budget = ring_budget or 2 * (n // d)
+    # emission sees N gathered rows (all_gather) or ring_budget
+    # compacted rows (ring)
+    n_rows = ring_budget if ring else n
     # (max_splats_per_tile sizes its own compact pack layout inside
     # _bin_splats; cap_pairs only governs the exact/direct mode)
     if corner_cap is not None and ky == gs_ops.KY == 2:
-        cap_pairs = (n * 2 + corner_cap * gs_ops.KX * ky
+        cap_pairs = (n_rows * 2 + corner_cap * gs_ops.KX * ky
                      + nty_local * ntx * gs_ops.CHUNK)
     else:
-        cap_pairs = n * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
+        cap_pairs = n_rows * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
     if big_splat_cap is not None:
         cap_pairs += big_splat_cap * gs_ops._kx2(tile_w) * gs_ops.KY2
     cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK)
@@ -120,14 +148,51 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                          jnp.isfinite(ps_local.depth).astype(jnp.float32),
                          jnp.zeros_like(ps_local.depth)], -1)
         packet = jnp.concatenate([rec_local, aux], -1)      # (n/d, 16)
-        packet = jax.lax.all_gather(packet, axis, axis=0, tiled=True)
+        band = jax.lax.axis_index(axis)
+        y0 = (band * band_px).astype(jnp.float32)
+        ov_ring = jnp.zeros((), jnp.int32)
+        if ring:
+            # RING EXCHANGE (see docstring): shard packets make d hops;
+            # each hop this device compacts the band-touching splats of
+            # the visiting shard into a fixed ring_budget buffer.
+            nd = n // d
+            slot = jnp.arange(ring_budget, dtype=jnp.int32)
+            perm = [(i, (i + 1) % d) for i in range(d)]
+
+            def ring_step(_, carry):
+                pkt, buf, cnt, ov = carry
+                my_ = pkt[:, gs_ops._MY]
+                rad_ = pkt[:, gs_ops._ROWS]
+                ok = ((pkt[:, gs_ops._ROWS + 2] > 0.5)
+                      & (my_ + rad_ > y0) & (my_ - rad_ < y0 + band_px))
+                csum = jnp.cumsum(ok.astype(jnp.int32))
+                k = csum[-1]
+                # scatter-free append: output slot cnt+j takes the j-th
+                # kept input row (searchsorted over the keep prefix sum)
+                src = jnp.clip(
+                    jnp.searchsorted(csum, slot - cnt + 1,
+                                     side="left").astype(jnp.int32),
+                    0, nd - 1)
+                rows = jnp.take(pkt, src, axis=0)
+                put = (slot >= cnt) & (slot < cnt + k)
+                buf = jnp.where(put[:, None], rows, buf)
+                ov = ov + jnp.maximum(cnt + k - ring_budget, 0)
+                cnt = jnp.minimum(cnt + k, ring_budget)
+                pkt = jax.lax.ppermute(pkt, axis, perm)
+                return pkt, buf, cnt, ov
+
+            _, packet, cnt, ov_ring = jax.lax.fori_loop(
+                0, d, ring_step,
+                (packet, jnp.zeros((ring_budget, 16), jnp.float32),
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+            # dead slots (>= cnt) are all-zero rows: valid column 0
+        else:
+            packet = jax.lax.all_gather(packet, axis, axis=0, tiled=True)
         records, rad = packet[:, :gs_ops._ROWS], packet[:, gs_ops._ROWS]
         depth, valid = packet[:, gs_ops._ROWS + 1], packet[
             :, gs_ops._ROWS + 2] > 0.5
 
         # --- tile-parallel composite: this device's row band ---
-        band = jax.lax.axis_index(axis)
-        y0 = (band * band_px).astype(jnp.float32)
         my = records[:, gs_ops._MY]
         in_band = (my + rad > y0) & (my - rad < y0 + band_px)
         records = records.at[:, gs_ops._MY].add(-y0)
@@ -153,16 +218,20 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                corner_cap=corner_cap,
                                budget=(budget_local if lod_budget
                                        is not None else None),
-                               tail=tail_in, tile_w=tile_w)
-        packed = gs_ops._pack_records(records, pack_idx)
+                               tail=tail_in, tile_w=tile_w,
+                               records=(records if max_splats_per_tile
+                                        is None else None))
+        # exact mode: payload-sort returned the packed array directly
+        packed = (pack_idx if max_splats_per_tile is None
+                  else gs_ops._pack_records(records, pack_idx))
         r_, g_, b_, t_, texec = gs_ops._composite_call(
             packed, steps, nty_local, ntx, interpret, tile_w)
         img = gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
                                      ntx, background, tail_slab=tail_slab,
                                      tile_w=tile_w)  # (band_px, Wp, 3)
         tile_exec = jnp.where(visited, texec[:-1, 0, 0], 0)
-        return (img, overflow[None], overflow_big[None], tile_exec,
-                lod_kc[0], lod_kc[1])
+        return (img, overflow[None], (overflow_big + ov_ring)[None],
+                tile_exec, lod_kc[0], lod_kc[1])
 
     spec_splat = P(axis)
     sh = getattr(cloud, "sh_rest", None)

@@ -84,6 +84,31 @@ def test_gaussians_sharded_flagship_config_matches_single():
     assert err2.mean() < 5e-3, err2.mean()
 
 
+def test_gaussians_sharded_ring_exchange_matches_all_gather():
+    # ring splat exchange (ppermute + band compaction, the 10M-splat
+    # memory path) must match the all_gather exchange; overflow counted
+    # when the ring budget is too small
+    view, proj = camera()
+    cloud = random_cloud(512, seed=11, extent=0.8,
+                         scale_range=(0.02, 0.06))
+    mesh = make_device_mesh()
+    base = np.asarray(render_gaussians_sharded(
+        cloud, view, proj, W, H, mesh, (0.1, 0.1, 0.1), interpret=True))
+    # budget = N: cannot overflow (bands here are 32 px, radii are
+    # comparable — the 2N/D default is for production aspect ratios)
+    ringed, st = render_gaussians_sharded(
+        cloud, view, proj, W, H, mesh, (0.1, 0.1, 0.1), interpret=True,
+        splat_exchange="ring", ring_budget=512, return_stats=True)
+    err = np.abs(np.asarray(ringed) - base)
+    assert err.max() < 1e-4, err.max()
+    assert int(st["overflow_big_splats"]) == 0
+    # starve the budget: must still render (graceful) and report drops
+    _, st2 = render_gaussians_sharded(
+        cloud, view, proj, W, H, mesh, (0.1, 0.1, 0.1), interpret=True,
+        splat_exchange="ring", ring_budget=16, return_stats=True)
+    assert int(st2["overflow_big_splats"]) > 0
+
+
 def test_gaussians_sharded_rejects_indivisible():
     view, proj = camera()
     cloud = random_cloud(513, seed=1)
