@@ -66,14 +66,19 @@ def train_adc(args):
                   p, v, pr, w, h, interpret=ctx.interpret))
     views, targets = [], []
     tp = params_from_cloud(target_cloud)
-    for k in range(args.views):
-        ang = 2.0 * np.pi * k / args.views
+    # training ring + 2 HELD-OUT views at half-offset angles (never
+    # trained on — the reconstruction metric, not the fit metric)
+    for k in range(args.views + 2):
+        held = k >= args.views
+        ang = 2.0 * np.pi * ((k + 0.5) if held else k) / args.views
         eye = rmath.vec(2.3 * np.cos(ang), 0.4, 2.3 * np.sin(ang))
         v = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
         views.append(v)
         targets.append(jax.block_until_ready(render(tp, v, proj, W, H)))
-    log.info("rendered %d target views of a hidden %d-splat scene",
-             args.views, args.splats)
+    holdout_views, holdout_targets = views[-2:], targets[-2:]
+    views, targets = views[:-2], targets[:-2]
+    log.info("rendered %d target views (+2 held out) of a hidden "
+             "%d-splat scene", args.views, args.splats)
 
     n0 = max(args.splats // 16, 16)
     params = pad_params(
@@ -121,10 +126,12 @@ def train_adc(args):
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    psnrs = []
-    for v, t in zip(views, targets):
-        mse = float(jnp.mean((render(params, v, proj, W, H) - t) ** 2))
-        psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+    psnrs, hpsnrs = [], []
+    for vlist, tlist, out in ((views, targets, psnrs),
+                              (holdout_views, holdout_targets, hpsnrs)):
+        for v, t in zip(vlist, tlist):
+            mse = float(jnp.mean((render(params, v, proj, W, H) - t) ** 2))
+            out.append(10 * np.log10(1.0 / max(mse, 1e-12)))
     final = render(params, views[0], proj, W, H)
     os.makedirs(args.out, exist_ok=True)
     save_png(os.path.join(args.out, "target.png"),
@@ -135,9 +142,10 @@ def train_adc(args):
           f"{n_live} live splats (cap {cap}), {args.views} views "
           f"{W}x{H} on {ctx.device.platform}, "
           f"{max(args.steps - 1, 1) / dt:.1f} steps/s; "
-          f"mean PSNR {np.mean(psnrs):.1f} dB (min {min(psnrs):.1f}) "
+          f"mean PSNR {np.mean(psnrs):.1f} dB (min {min(psnrs):.1f}), "
+          f"held-out {np.mean(hpsnrs):.1f} dB "
           f"(saved {args.out}/fitted.png)")
-    return float(np.mean(psnrs))
+    return float(np.mean(hpsnrs))
 
 
 def main(argv=None):
