@@ -185,7 +185,7 @@ def main():
         def warmed_frame(c, t):
             if not temporal:
                 img, stats = one_frame(c, t, None)
-                return img, stats["overflow_pairs"]
+                return img, stats["overflow_pairs"], stats["lossless"]
             def body(i, budget):
                 _, stats = one_frame(
                     c, t - (warm - i).astype(jnp.float32) / 60.0, budget)
@@ -194,21 +194,23 @@ def main():
                                          stats.get("tile_count"))
             b = lax.fori_loop(0, warm, body, budget0)
             img, stats = one_frame(c, t, b)
-            return img, stats["overflow_pairs"]
+            return img, stats["overflow_pairs"], stats["lossless"]
 
         nsamp = int(os.environ.get("RAYEATER_BENCH_PSNR_FRAMES", 6))
-        psnrs, drops = [], []
+        psnrs, drops, certs = [], [], []
         for k in range(nsamp):
             ts = np.float32((frames - 1) * k / (nsamp - 1) / 60.0)
-            a, ov = warmed_frame(cloud, ts)
+            a, ov, cert = warmed_frame(cloud, ts)
             b = exact_fn(cloud, ts)
             mse = float(jnp.mean((a - b) ** 2))
             psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
             drops.append(int(ov))
+            certs.append(bool(cert))
         log("LOD quality vs exact: min %.1f dB over %d sampled frames %s"
             % (min(psnrs), nsamp,
                "[" + " ".join(f"{p:.1f}" for p in psnrs) + "]"))
         log("LOD pairs dropped per sampled frame: %s" % drops)
+        log("saturation-certified lossless frames: %s" % certs)
 
 
     # best of three measurement windows: throughput through the device

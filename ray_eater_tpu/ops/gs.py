@@ -1657,6 +1657,24 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
             # ran-dry (unsaturated, truncated) tiles straight to their
             # full list size instead of growing 1.5x per frame
             stats["tile_kept"], stats["tile_count"] = lod_kc
+            # LOSSLESS CERTIFICATE: when every truncated tile saturated
+            # strictly inside its kept list (exec < kept), every dropped
+            # pair sits behind a transmittance < _T_EPS — the render
+            # differs from the exact one only by sub-epsilon tail
+            # contributions and f32 reassociation across the (aligned vs
+            # direct) chunk grouping: measured <= 2.5e-5 max channel
+            # error / 131.7 dB (test_lossless_certificate), i.e.
+            # far below 8-bit quantization. A tile that walked its whole
+            # truncated list unsaturated (dry) may differ visibly.
+            # overflow_big covers whole-splat channel drops, which a
+            # saturation walk cannot excuse.
+            kept_, count_ = lod_kc
+            dry = (kept_ < count_) & (tile_exec >= kept_) & visited
+            stats["lossless"] = (~jnp.any(dry)) & (overflow_big == 0)
+        else:
+            # exact/direct mode: lossless unless the positional pair cap
+            # or a whole-splat channel budget overflowed
+            stats["lossless"] = (overflow == 0) & (overflow_big == 0)
         return img, stats
     return img
 

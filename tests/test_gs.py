@@ -243,6 +243,56 @@ def test_compact_lod_matches_exact_when_not_binding():
     assert np.abs(a - b).max() < 1e-6
 
 
+def test_lossless_certificate():
+    # stats["lossless"]: True must guarantee the LOD render differs from
+    # exact only past the saturation epsilon (every truncated tile
+    # saturated inside its kept list — sub-_T_EPS error); an unsaturated
+    # truncation must report False
+    view, proj = camera()
+    # the saturation early-out is WHOLE-TILE (every pixel T < eps), so
+    # the fixture must blanket tiles: depth layers of overlapping
+    # near-opaque grids (transmittance ~0.05^layer)
+    g = np.stack(np.meshgrid(np.linspace(-4.0, 4.0, 17),
+                             np.linspace(-2.0, 2.0, 11),
+                             np.linspace(-0.5, 0.5, 24)), -1)
+    means = g.reshape(-1, 3).astype(np.float32)
+    n = means.shape[0]
+    opaque = gaussian_cloud(means, np.full((n, 3), 0.5),
+                            [[1, 0, 0, 0]] * n, [0.95] * n,
+                            np.tile(np.linspace([1, 0, 0], [0, 0, 1],
+                                                24), (17 * 11, 1)))
+    exact = np.asarray(render_gaussians(opaque, view, proj, W, H,
+                                        interpret=True))
+    # 2-chunk budget: the saturation early-out is CHUNK-granular, so the
+    # certificate can only prove saturation when it fires before the
+    # LAST kept chunk (exec < kept)
+    img, st = render_gaussians(opaque, view, proj, W, H,
+                               max_splats_per_tile=2 * gs.CHUNK,
+                               return_stats=True, interpret=True)
+    assert int(st["overflow_pairs"]) > 0          # the cap really binds
+    assert bool(st["lossless"])
+    # sub-epsilon: dropped tails sit behind T < _T_EPS; remaining delta
+    # is f32 reassociation across the aligned-vs-direct chunk grouping
+    assert np.abs(np.asarray(img) - exact).max() < 3.0 * gs._T_EPS
+    # same geometry, nearly transparent: no saturation -> dry tiles ->
+    # certificate must be withdrawn (and the image really differs)
+    thin = gaussian_cloud(means, np.full((n, 3), 0.5),
+                          [[1, 0, 0, 0]] * n, [0.02] * n,
+                          np.tile(np.linspace([1, 0, 0], [0, 0, 1], 24),
+                                  (17 * 11, 1)))
+    exact_t = np.asarray(render_gaussians(thin, view, proj, W, H,
+                                          interpret=True))
+    img_t, st_t = render_gaussians(thin, view, proj, W, H,
+                                   max_splats_per_tile=gs.CHUNK,
+                                   return_stats=True, interpret=True)
+    assert not bool(st_t["lossless"])
+    assert np.abs(np.asarray(img_t) - exact_t).max() > 3.0 * gs._T_EPS
+    # exact mode self-reports lossless via the overflow counters
+    _, st_e = render_gaussians(opaque, view, proj, W, H,
+                               return_stats=True, interpret=True)
+    assert bool(st_e["lossless"])
+
+
 def test_max_splats_per_tile_lod():
     # per-tile cap: dropping the farthest splats of deep tiles — the near
     # (opaque) splat must survive, and output stays finite everywhere
