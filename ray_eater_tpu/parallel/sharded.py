@@ -276,6 +276,180 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
     return img
 
 
+def render_gaussians_depth_sliced(cloud, view, proj, width: int,
+                                  height: int, mesh: Mesh,
+                                  background=(0.0, 0.0, 0.0),
+                                  cam_pos=None, ky: int | None = None,
+                                  tile_w: int | None = None,
+                                  slice_budget: int | None = None,
+                                  return_stats: bool = False,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """SORT-LAST parallel 3DGS: each device owns a DEPTH SLICE.
+
+    :func:`render_gaussians_sharded` is sort-first — every device needs
+    every record touching its row band, so records are replicated
+    (all_gather) or ring-compacted. This is the classic sort-last
+    decomposition of parallel volume rendering (binary-swap / radix-k
+    lineage): alpha compositing over depth-DISJOINT splat sets is
+    associative,
+
+        (C_a, T_a) (+) (C_b, T_b) = (C_a + T_a*C_b, T_a*T_b),
+
+    so each device composites the FULL frame over only the splats whose
+    view depth falls in its global depth quantile (N/D records after one
+    ring redistribution — D× less ICI record traffic than the
+    all_gather, and nothing replicated), then the D premultiplied
+    (color, transmittance) image pairs fold front-to-back. Projection,
+    binning sort, and composite list depth all scale 1/D; the per-device
+    tile grid is the full frame.
+
+    Depth slices are QUANTILES from one psum'd 256-bin histogram of
+    valid record depths, recomputed per frame (bin-granular splits).
+    Records route to their slice owner over the ppermute ring with
+    per-hop compaction into a ``slice_budget``-row buffer (default
+    2·N/D); overflowing records are dropped whole and counted in
+    ``overflow_big_splats``. Compositing is the exact payload-sort path
+    (per-tile LOD budgets are a per-device-list concept; slices are
+    already 1/D deep)."""
+    if ky is None:
+        ky = gs_ops.KY
+    if tile_w is None:
+        tile_w = gs_ops.TILE_W
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    nty = _pad_to(height, gs_ops.TILE_H) // gs_ops.TILE_H
+    ntx = _pad_to(width, tile_w) // tile_w
+    n = cloud.num_splats
+    if n % d:
+        raise ValueError(f"splat count {n} not divisible by mesh size {d}")
+    nd = n // d
+    budget = slice_budget or 2 * nd
+    cap_pairs = _pad_to(budget * gs_ops.KX * ky
+                        + nty * ntx * gs_ops.CHUNK, gs_ops.CHUNK)
+    nbins = 256
+
+    def local_render(means, scales, quats, opac, colors, sh_rest):
+        if cam_pos is not None and sh_rest is not None:
+            from ..models.gaussians import GaussianCloud, eval_sh_colors
+            colors = eval_sh_colors(
+                GaussianCloud(means=means, scales=scales, quats=quats,
+                              opacities=opac, colors=colors,
+                              sh_rest=sh_rest), cam_pos)
+        ps = gs_ops.project_gaussians(means, scales, quats, opac, colors,
+                                      view, proj, width, height, ky=ky)
+        rec = gs_ops._make_records(ps)                       # (n/d, 12)
+        valid_l = jnp.isfinite(ps.depth)
+        aux = jnp.stack([ps.radius.astype(jnp.float32),
+                         jnp.where(valid_l, ps.depth, jnp.inf),
+                         valid_l.astype(jnp.float32),
+                         jnp.zeros_like(ps.depth)], -1)
+        packet = jnp.concatenate([rec, aux], -1)             # (n/d, 16)
+
+        # --- global depth quantiles: one psum'd histogram ---
+        dpth = packet[:, gs_ops._ROWS + 1]
+        vmask = packet[:, gs_ops._ROWS + 2] > 0.5
+        big = jnp.float32(3.4e38)
+        dmin = -jax.lax.pmax(jnp.max(jnp.where(vmask, -dpth, -big)), axis)
+        dmax = jax.lax.pmax(jnp.max(jnp.where(vmask, dpth, -big)), axis)
+        span = jnp.maximum(dmax - dmin, 1e-9)
+        hist = jnp.zeros((nbins,), jnp.float32).at[
+            jnp.clip(((dpth - dmin) / span * nbins).astype(jnp.int32),
+                     0, nbins - 1)].add(vmask.astype(jnp.float32))
+        hist = jax.lax.psum(hist, axis)
+        ce = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                              jnp.cumsum(hist)])             # exclusive
+        total = jnp.maximum(ce[-1], 1.0)
+        # whole bins map to one device by cumulative START fraction, so
+        # the slice sets are depth-disjoint by construction
+        bin_dev = jnp.minimum((ce[:-1] * d / total).astype(jnp.int32),
+                              d - 1)                         # (nbins,)
+        me = jax.lax.axis_index(axis)
+
+        def target_of(pkt):
+            dp = pkt[:, gs_ops._ROWS + 1]
+            ok = pkt[:, gs_ops._ROWS + 2] > 0.5
+            b = jnp.clip(((dp - dmin) / span * nbins).astype(jnp.int32),
+                         0, nbins - 1)
+            return jnp.where(ok, jnp.take(bin_dev, b), -1)
+
+        # --- ring redistribution into this device's slice buffer ---
+        slot = jnp.arange(budget, dtype=jnp.int32)
+        perm = [(i, (i + 1) % d) for i in range(d)]
+
+        def ring_step(_, carry):
+            pkt, buf, cnt, ov = carry
+            ok = target_of(pkt) == me
+            csum = jnp.cumsum(ok.astype(jnp.int32))
+            k = csum[-1]
+            src = jnp.clip(jnp.searchsorted(
+                csum, slot - cnt + 1, side="left").astype(jnp.int32),
+                0, nd - 1)
+            rows = jnp.take(pkt, src, axis=0)
+            put = (slot >= cnt) & (slot < cnt + k)
+            buf = jnp.where(put[:, None], rows, buf)
+            ov = ov + jnp.maximum(cnt + k - budget, 0)
+            cnt = jnp.minimum(cnt + k, budget)
+            pkt = jax.lax.ppermute(pkt, axis, perm)
+            return pkt, buf, cnt, ov
+
+        _, sl, cnt, ov_ring = jax.lax.fori_loop(
+            0, d, ring_step,
+            (packet, jnp.zeros((budget, 16), jnp.float32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+
+        # --- full-frame exact composite of this slice ---
+        records = sl[:, :gs_ops._ROWS]
+        rad = sl[:, gs_ops._ROWS]
+        depth = sl[:, gs_ops._ROWS + 1]
+        valid = sl[:, gs_ops._ROWS + 2] > 0.5
+        (packed, steps, visited, overflow, overflow_big, _,
+         _) = gs_ops._bin_splats(
+            records[:, gs_ops._MX], records[:, gs_ops._MY], rad, valid,
+            depth, ntx, nty, cap_pairs, ky=ky, tile_w=tile_w,
+            records=records)
+        r_, g_, b_, t_, _ = gs_ops._composite_call(
+            packed, steps, nty, ntx, interpret, tile_w)
+        # background-free planes: C premultiplied, T transmittance —
+        # exactly the (+) operands (finalize_planes would blend bg)
+        vis = jnp.concatenate([visited, jnp.zeros((1,), bool)]
+                              )[:, None, None]
+        planes = [gs_ops._untile(jnp.where(vis, p, fill), nty, ntx,
+                                 tile_w)
+                  for p, fill in ((r_, 0.0), (g_, 0.0), (b_, 0.0),
+                                  (t_, 1.0))]
+        c_img = jnp.stack(planes[:3], -1)                  # (Hp, Wp, 3)
+        t_img = planes[3]                                  # (Hp, Wp)
+
+        # --- sort-last combine: fold D slices front-to-back ---
+        cs = jax.lax.all_gather(c_img, axis)               # (d, Hp, Wp, 3)
+        ts = jax.lax.all_gather(t_img, axis)
+
+        def fold(i, carry):
+            c, t = carry
+            return c + t[..., None] * cs[i], t * ts[i]
+
+        c, t = jax.lax.fori_loop(
+            0, d, fold, (jnp.zeros_like(c_img), jnp.ones_like(t_img)))
+        bg = jnp.asarray(background, jnp.float32)
+        img = c + t[..., None] * bg
+        return img, overflow[None], (overflow_big + ov_ring)[None]
+
+    sh = getattr(cloud, "sh_rest", None)
+    img, ovp, ovb = jax.shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(axis),) * 5 + ((P(axis),) if sh is not None
+                                   else (P(),)),
+        out_specs=(P(), P(axis), P(axis)),
+        check_vma=False,
+    )(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
+      cloud.colors, sh)
+    img = img[:height, :width]
+    if return_stats:
+        return img, {"overflow_pairs": jnp.sum(ovp),
+                     "overflow_big_splats": jnp.sum(ovb)}
+    return img
+
+
 def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
                         width: int, height: int, mesh: Mesh,
                         clear_color=(0.0, 0.0, 0.0, 1.0),

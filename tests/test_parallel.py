@@ -109,6 +109,30 @@ def test_gaussians_sharded_ring_exchange_matches_all_gather():
     assert int(st2["overflow_big_splats"]) > 0
 
 
+def test_gaussians_depth_sliced_matches_single():
+    # sort-last mode: depth-quantile slices composited full-frame per
+    # device, folded front-to-back — must match the single-device exact
+    # render (different pair->device split => fp-grouping drift only)
+    from ray_eater_tpu.parallel.sharded import render_gaussians_depth_sliced
+    view, proj = camera()
+    cloud = random_cloud(512, seed=11, extent=0.8,
+                         scale_range=(0.02, 0.06))
+    single = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                         (0.1, 0.2, 0.3), interpret=True))
+    mesh = make_device_mesh()
+    sliced, st = render_gaussians_depth_sliced(
+        cloud, view, proj, W, H, mesh, (0.1, 0.2, 0.3), interpret=True,
+        slice_budget=512, return_stats=True)
+    assert int(st["overflow_big_splats"]) == 0
+    err = np.abs(np.asarray(sliced) - single)
+    assert err.max() < 1e-4, err.max()
+    # starved slice budget: graceful + counted
+    _, st2 = render_gaussians_depth_sliced(
+        cloud, view, proj, W, H, mesh, (0.1, 0.2, 0.3), interpret=True,
+        slice_budget=16, return_stats=True)
+    assert int(st2["overflow_big_splats"]) > 0
+
+
 def test_gaussians_sharded_rejects_indivisible():
     view, proj = camera()
     cloud = random_cloud(513, seed=1)
