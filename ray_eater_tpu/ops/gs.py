@@ -1652,11 +1652,11 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         stats = {"overflow_pairs": overflow,
                  "overflow_big_splats": overflow_big,
                  "tile_exec": tile_exec}
-        if lod_kc is not None:
-            # per-tile kept/count: update_lod_budget uses them to jump
-            # ran-dry (unsaturated, truncated) tiles straight to their
-            # full list size instead of growing 1.5x per frame
-            stats["tile_kept"], stats["tile_count"] = lod_kc
+        # per-tile kept/count: update_lod_budget uses them to jump
+        # ran-dry (unsaturated, truncated) tiles straight to their
+        # full list size instead of growing 1.5x per frame
+        stats["tile_kept"], stats["tile_count"] = lod_kc
+        if max_splats_per_tile is not None:
             # LOSSLESS CERTIFICATE: when every truncated tile saturated
             # strictly inside its kept list (exec < kept), every dropped
             # pair sits behind a transmittance < _T_EPS — the render
@@ -1665,11 +1665,13 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
             # direct) chunk grouping: measured <= 2.5e-5 max channel
             # error / 131.7 dB (test_lossless_certificate), i.e.
             # far below 8-bit quantization. A tile that walked its whole
-            # truncated list unsaturated (dry) may differ visibly.
-            # overflow_big covers whole-splat channel drops, which a
-            # saturation walk cannot excuse.
+            # truncated list unsaturated (dry) may differ visibly. The
+            # gate is count > 0, NOT visited: a tile whose ENTIRE list
+            # was dropped (kept == 0 < count) is unvisited but must
+            # withdraw the certificate. overflow_big covers whole-splat
+            # channel drops, which a saturation walk cannot excuse.
             kept_, count_ = lod_kc
-            dry = (kept_ < count_) & (tile_exec >= kept_) & visited
+            dry = (kept_ < count_) & (tile_exec >= kept_) & (count_ > 0)
             stats["lossless"] = (~jnp.any(dry)) & (overflow_big == 0)
         else:
             # exact/direct mode: lossless unless the positional pair cap

@@ -36,6 +36,46 @@ def make_device_mesh(n_devices: int | None = None,
     return jax.make_mesh((n,), (axis,))
 
 
+def _ring_compact(packet, keep_fn, budget: int, axis: str, d: int):
+    """Ring exchange with budgeted compaction (shared by the row-band and
+    depth-sliced renderers): the (n/d, C) shard packets circulate the ICI
+    ring d-1 hops via ``ppermute``; at each visit this device compacts
+    the rows ``keep_fn(pkt)`` selects into a fixed ``budget``-row buffer
+    (scatter-free cumsum+searchsorted append, the big-splat-channel
+    pattern). The d-th shard is the one already in hand after the last
+    hop, so no trailing ppermute is paid. Rows beyond the budget are
+    dropped whole and counted. Returns (buffer, count, overflow)."""
+    nd = packet.shape[0]
+    slot = jnp.arange(budget, dtype=jnp.int32)
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    def compact(pkt, buf, cnt, ov):
+        ok = keep_fn(pkt)
+        csum = jnp.cumsum(ok.astype(jnp.int32))
+        k = csum[-1]
+        src = jnp.clip(jnp.searchsorted(csum, slot - cnt + 1,
+                                        side="left").astype(jnp.int32),
+                       0, nd - 1)
+        rows = jnp.take(pkt, src, axis=0)
+        put = (slot >= cnt) & (slot < cnt + k)
+        buf = jnp.where(put[:, None], rows, buf)
+        ov = ov + jnp.maximum(cnt + k - budget, 0)
+        cnt = jnp.minimum(cnt + k, budget)
+        return buf, cnt, ov
+
+    def step(_, carry):
+        pkt, buf, cnt, ov = carry
+        buf, cnt, ov = compact(pkt, buf, cnt, ov)
+        return (jax.lax.ppermute(pkt, axis, perm), buf, cnt, ov)
+
+    z = jnp.zeros((), jnp.int32)
+    pkt, buf, cnt, ov = jax.lax.fori_loop(
+        0, d - 1, step,
+        (packet, jnp.zeros((budget, packet.shape[1]), packet.dtype),
+         z, z))
+    return compact(pkt, buf, cnt, ov)
+
+
 def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              mesh: Mesh, background=(0.0, 0.0, 0.0),
                              cam_pos=None, ky: int | None = None,
@@ -152,39 +192,16 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         y0 = (band * band_px).astype(jnp.float32)
         ov_ring = jnp.zeros((), jnp.int32)
         if ring:
-            # RING EXCHANGE (see docstring): shard packets make d hops;
-            # each hop this device compacts the band-touching splats of
-            # the visiting shard into a fixed ring_budget buffer.
-            nd = n // d
-            slot = jnp.arange(ring_budget, dtype=jnp.int32)
-            perm = [(i, (i + 1) % d) for i in range(d)]
-
-            def ring_step(_, carry):
-                pkt, buf, cnt, ov = carry
+            # RING EXCHANGE (see docstring): compact the band-touching
+            # splats of every visiting shard into a ring_budget buffer
+            def keep_band(pkt):
                 my_ = pkt[:, gs_ops._MY]
                 rad_ = pkt[:, gs_ops._ROWS]
-                ok = ((pkt[:, gs_ops._ROWS + 2] > 0.5)
-                      & (my_ + rad_ > y0) & (my_ - rad_ < y0 + band_px))
-                csum = jnp.cumsum(ok.astype(jnp.int32))
-                k = csum[-1]
-                # scatter-free append: output slot cnt+j takes the j-th
-                # kept input row (searchsorted over the keep prefix sum)
-                src = jnp.clip(
-                    jnp.searchsorted(csum, slot - cnt + 1,
-                                     side="left").astype(jnp.int32),
-                    0, nd - 1)
-                rows = jnp.take(pkt, src, axis=0)
-                put = (slot >= cnt) & (slot < cnt + k)
-                buf = jnp.where(put[:, None], rows, buf)
-                ov = ov + jnp.maximum(cnt + k - ring_budget, 0)
-                cnt = jnp.minimum(cnt + k, ring_budget)
-                pkt = jax.lax.ppermute(pkt, axis, perm)
-                return pkt, buf, cnt, ov
+                return ((pkt[:, gs_ops._ROWS + 2] > 0.5)
+                        & (my_ + rad_ > y0) & (my_ - rad_ < y0 + band_px))
 
-            _, packet, cnt, ov_ring = jax.lax.fori_loop(
-                0, d, ring_step,
-                (packet, jnp.zeros((ring_budget, 16), jnp.float32),
-                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+            packet, _, ov_ring = _ring_compact(packet, keep_band,
+                                               ring_budget, axis, d)
             # dead slots (>= cnt) are all-zero rows: valid column 0
         else:
             packet = jax.lax.all_gather(packet, axis, axis=0, tiled=True)
@@ -373,29 +390,8 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
             return jnp.where(ok, jnp.take(bin_dev, b), -1)
 
         # --- ring redistribution into this device's slice buffer ---
-        slot = jnp.arange(budget, dtype=jnp.int32)
-        perm = [(i, (i + 1) % d) for i in range(d)]
-
-        def ring_step(_, carry):
-            pkt, buf, cnt, ov = carry
-            ok = target_of(pkt) == me
-            csum = jnp.cumsum(ok.astype(jnp.int32))
-            k = csum[-1]
-            src = jnp.clip(jnp.searchsorted(
-                csum, slot - cnt + 1, side="left").astype(jnp.int32),
-                0, nd - 1)
-            rows = jnp.take(pkt, src, axis=0)
-            put = (slot >= cnt) & (slot < cnt + k)
-            buf = jnp.where(put[:, None], rows, buf)
-            ov = ov + jnp.maximum(cnt + k - budget, 0)
-            cnt = jnp.minimum(cnt + k, budget)
-            pkt = jax.lax.ppermute(pkt, axis, perm)
-            return pkt, buf, cnt, ov
-
-        _, sl, cnt, ov_ring = jax.lax.fori_loop(
-            0, d, ring_step,
-            (packet, jnp.zeros((budget, 16), jnp.float32),
-             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+        sl, _, ov_ring = _ring_compact(
+            packet, lambda pkt: target_of(pkt) == me, budget, axis, d)
 
         # --- full-frame exact composite of this slice ---
         records = sl[:, :gs_ops._ROWS]

@@ -291,6 +291,16 @@ def test_lossless_certificate():
     _, st_e = render_gaussians(opaque, view, proj, W, H,
                                return_stats=True, interpret=True)
     assert bool(st_e["lossless"])
+    # exact mode with a starved positional pair cap drops WHOLE trailing
+    # tiles (they never even become visited) — the certificate must be
+    # withdrawn via the overflow counter, not fooled by the dry gate
+    # (round-3 code-review finding: '& visited' masked kept=0 tiles)
+    img_c, st_c = render_gaussians(opaque, view, proj, W, H,
+                                   pairs_cap_factor=1,
+                                   return_stats=True, interpret=True)
+    assert int(st_c["overflow_pairs"]) > 0
+    assert not bool(st_c["lossless"])
+    assert np.abs(np.asarray(img_c) - exact).max() > 3.0 * gs._T_EPS
 
 
 def test_max_splats_per_tile_lod():
