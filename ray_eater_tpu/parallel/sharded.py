@@ -247,8 +247,18 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                      ntx, background, tail_slab=tail_slab,
                                      tile_w=tile_w)  # (band_px, Wp, 3)
         tile_exec = jnp.where(visited, texec[:-1, 0, 0], 0)
-        return (img, overflow[None], (overflow_big + ov_ring)[None],
-                tile_exec, lod_kc[0], lod_kc[1])
+        # per-band saturation certificate (ops.gs.render_gaussians
+        # semantics; whole-frame flag = AND over bands outside)
+        ovb_all = overflow_big + ov_ring
+        if max_splats_per_tile is not None:
+            kept_, count_ = lod_kc
+            dry = ((kept_ < count_) & (tile_exec >= kept_)
+                   & (count_ > 0))
+            cert = (~jnp.any(dry)) & (ovb_all == 0)
+        else:
+            cert = (overflow == 0) & (ovb_all == 0)
+        return (img, overflow[None], ovb_all[None],
+                tile_exec, lod_kc[0], lod_kc[1], cert[None])
 
     spec_splat = P(axis)
     sh = getattr(cloud, "sh_rest", None)
@@ -263,14 +273,14 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
             budget = jnp.concatenate(
                 [budget, jnp.zeros((pad_rows, *budget.shape[1:]),
                                    jnp.int32)])
-    out, overflow, overflow_big, tile_exec, tile_kept, tile_count = \
-        jax.shard_map(
+    (out, overflow, overflow_big, tile_exec, tile_kept, tile_count,
+     cert) = jax.shard_map(
             local_render, mesh=mesh,
             in_specs=(spec_splat,) * 5
             + ((spec_splat,) if sh is not None else (P(),))
             + ((P(axis),) if budget is not None else (P(),)),
             out_specs=(P(axis, None, None), P(axis), P(axis), P(axis),
-                       P(axis), P(axis)),
+                       P(axis), P(axis), P(axis)),
             check_vma=False,
         )(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
           cloud.colors, sh,
@@ -287,6 +297,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
             a, jax.sharding.NamedSharding(mesh, P()))
         return img, {"overflow_pairs": jnp.sum(overflow),
                      "overflow_big_splats": jnp.sum(overflow_big),
+                     "lossless": jnp.all(cert),
                      "tile_exec": rep(tile_exec),
                      "tile_kept": rep(tile_kept),
                      "tile_count": rep(tile_count)}
@@ -442,7 +453,9 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
     img = img[:height, :width]
     if return_stats:
         return img, {"overflow_pairs": jnp.sum(ovp),
-                     "overflow_big_splats": jnp.sum(ovb)}
+                     "overflow_big_splats": jnp.sum(ovb),
+                     "lossless": (jnp.sum(ovp) == 0)
+                     & (jnp.sum(ovb) == 0)}
     return img
 
 

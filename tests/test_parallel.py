@@ -102,11 +102,13 @@ def test_gaussians_sharded_ring_exchange_matches_all_gather():
     err = np.abs(np.asarray(ringed) - base)
     assert err.max() < 1e-4, err.max()
     assert int(st["overflow_big_splats"]) == 0
+    assert bool(st["lossless"])         # exact + no channel drops
     # starve the budget: must still render (graceful) and report drops
     _, st2 = render_gaussians_sharded(
         cloud, view, proj, W, H, mesh, (0.1, 0.1, 0.1), interpret=True,
         splat_exchange="ring", ring_budget=16, return_stats=True)
     assert int(st2["overflow_big_splats"]) > 0
+    assert not bool(st2["lossless"])    # drops withdraw the certificate
 
 
 def test_gaussians_depth_sliced_matches_single():
@@ -124,6 +126,7 @@ def test_gaussians_depth_sliced_matches_single():
         cloud, view, proj, W, H, mesh, (0.1, 0.2, 0.3), interpret=True,
         slice_budget=512, return_stats=True)
     assert int(st["overflow_big_splats"]) == 0
+    assert bool(st["lossless"])
     err = np.abs(np.asarray(sliced) - single)
     assert err.max() < 1e-4, err.max()
     # starved slice budget: graceful + counted
@@ -131,6 +134,7 @@ def test_gaussians_depth_sliced_matches_single():
         cloud, view, proj, W, H, mesh, (0.1, 0.2, 0.3), interpret=True,
         slice_budget=16, return_stats=True)
     assert int(st2["overflow_big_splats"]) > 0
+    assert not bool(st2["lossless"])
 
 
 def test_gaussians_sharded_rejects_indivisible():
