@@ -310,6 +310,7 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
                                   cam_pos=None, ky: int | None = None,
                                   tile_w: int | None = None,
                                   slice_budget: int | None = None,
+                                  big_splat_cap: int | None = None,
                                   return_stats: bool = False,
                                   interpret: bool = False) -> jnp.ndarray:
     """SORT-LAST parallel 3DGS: each device owns a DEPTH SLICE.
@@ -353,7 +354,11 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
     nd = n // d
     budget = slice_budget or 2 * nd
     cap_pairs = _pad_to(budget * gs_ops.KX * ky
-                        + nty * ntx * gs_ops.CHUNK, gs_ops.CHUNK)
+                        + nty * ntx * gs_ops.CHUNK
+                        + (big_splat_cap * gs_ops._kx2(tile_w) * gs_ops.KY2
+                           if big_splat_cap else 0), gs_ops.CHUNK)
+    max_radius = (float(gs_ops.level2_max_radius(tile_w))
+                  if big_splat_cap is not None else None)
     nbins = 256
 
     def local_render(means, scales, quats, opac, colors, sh_rest):
@@ -364,7 +369,8 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
                               opacities=opac, colors=colors,
                               sh_rest=sh_rest), cam_pos)
         ps = gs_ops.project_gaussians(means, scales, quats, opac, colors,
-                                      view, proj, width, height, ky=ky)
+                                      view, proj, width, height, ky=ky,
+                                      max_radius=max_radius)
         rec = gs_ops._make_records(ps)                       # (n/d, 12)
         valid_l = jnp.isfinite(ps.depth)
         aux = jnp.stack([ps.radius.astype(jnp.float32),
@@ -413,7 +419,7 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
          _) = gs_ops._bin_splats(
             records[:, gs_ops._MX], records[:, gs_ops._MY], rad, valid,
             depth, ntx, nty, cap_pairs, ky=ky, tile_w=tile_w,
-            records=records)
+            big_cap=big_splat_cap, records=records)
         r_, g_, b_, t_, _ = gs_ops._composite_call(
             packed, steps, nty, ntx, interpret, tile_w)
         # background-free planes: C premultiplied, T transmittance —

@@ -135,6 +135,15 @@ def test_gaussians_depth_sliced_matches_single():
         slice_budget=16, return_stats=True)
     assert int(st2["overflow_big_splats"]) > 0
     assert not bool(st2["lossless"])
+    # two-level big-splat binning through the sort-last path
+    big = random_cloud(256, seed=3, extent=0.6,
+                       scale_range=(0.05, 0.35))
+    sb = np.asarray(render_gaussians(big, view, proj, W, H, (0, 0, 0),
+                                     big_splat_cap=256, interpret=True))
+    db = np.asarray(render_gaussians_depth_sliced(
+        big, view, proj, W, H, mesh, (0, 0, 0), big_splat_cap=256,
+        slice_budget=256, interpret=True))
+    assert np.abs(db - sb).max() < 1e-4
 
 
 def test_gaussians_sharded_rejects_indivisible():
