@@ -91,6 +91,10 @@ def main():
     # many budgeted 2x2 corner-crossing splats (gs.render_gaussians)
     corner_cap = int(os.environ.get("RAYEATER_BENCH_CORNER_CAP", 0)) \
         or None
+    # exact-mode pack strategy: payload-sort (default) or the legacy
+    # row-gather (RAYEATER_BENCH_PAYLOAD=0) — escape hatch while the
+    # payload program's device-loop behavior is validated on hardware
+    payload = os.environ.get("RAYEATER_BENCH_PAYLOAD", "1") != "0"
     # TEMPORAL adaptive LOD (default on): each frame's executed-depth
     # telemetry drives the next frame's per-tile budgets, so
     # early-saturating tiles release step-pool capacity to deep ones —
@@ -110,6 +114,7 @@ def main():
         view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
         proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
         return render_gaussians(c, view, proj, W, H,
+                                payload_sort=payload,
                                 pairs_cap_factor=capf,
                                 max_splats_per_tile=mpt,
                                 big_splat_cap=big_cap,
@@ -172,6 +177,7 @@ def main():
             view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
             proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
             return render_gaussians(c, view, proj, W, H,
+                                    payload_sort=payload,
                                     pairs_cap_factor=None,
                                     big_splat_cap=big_cap,
                                     corner_cap=corner_cap,

@@ -1496,7 +1496,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      lod_tail: bool = False,
                      return_stats: bool = False,
                      interpret: bool = False,
-                     tile_w: int = TILE_W) -> jnp.ndarray:
+                     tile_w: int = TILE_W,
+                     payload_sort: bool = True) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
 
@@ -1629,13 +1630,17 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                 big_cap=big_splat_cap, corner_cap=corner_cap,
                 budget=lod_budget, tail=tail_in,
                 tile_w=tile_w,
-                records=(records if max_splats_per_tile is None
-                         else None))
+                records=(records if payload_sort
+                         and max_splats_per_tile is None else None))
     with jax.named_scope("gs.pack"):
         # exact mode: records rode the sort as payload columns and
         # pack_idx already IS the packed array (see _bin_splats); the
-        # LOD layout packs via one block-granular row gather
-        packed = (pack_idx if max_splats_per_tile is None
+        # LOD layout packs via one block-granular row gather.
+        # ``payload_sort=False`` opts exact mode back into the gather
+        # pack (escape hatch while the payload program's behavior inside
+        # device loops is validated on real hardware).
+        packed = (pack_idx if payload_sort
+                  and max_splats_per_tile is None
                   else _pack_records(records, pack_idx))
 
     with jax.named_scope("gs.composite"):
