@@ -88,9 +88,14 @@ def main():
         print(f"{name}: compile+first window {time.perf_counter()-t0:.1f}s",
               flush=True)
         best = 1e9
-        for _ in range(3):
+        # each window gets a DIFFERENT t0 (identical (executable, args)
+        # re-dispatches can be served from a relay-side cache) AND the
+        # scalar result is FETCHED to host: block_until_ready alone on a
+        # scalar-only output returns immediately through the relay
+        # (0.01 ms/frame "measured", 195k FPS — physically impossible)
+        for w in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(cloud, np.float32(0.0)))
+            float(fn(cloud, np.float32(1.0 + w)))
             best = min(best, (time.perf_counter() - t0) / reps)
         print(f"{name:14s} {best*1e3:8.2f} ms/frame "
               f"({1.0/best:.1f} FPS)", flush=True)

@@ -44,9 +44,12 @@ def main():
                   flush=True)
             return None
         best = 1e9
+        # np.asarray fetch, not block_until_ready: through the relay,
+        # block on a tiny output can return before execution completes
+        # (tools/exp_payload.py observed 195k "FPS")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*args))
+            np.asarray(f(*args))
             best = min(best, (time.perf_counter() - t0) / ITERS * 1000)
         print(f"{name:48s} {best:8.2f} ms/iter", flush=True)
         return best
@@ -81,7 +84,7 @@ def main():
         oh = (rows == sl).astype(jnp.float32)              # (CHUNK, PIX)
         o_ref[:] = jax.lax.dot_general(
             tab_ref[:], oh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (F, PIX)
+            preferred_element_type=jnp.float32)[None]      # (1, F, PIX)
 
     def onehot_call(slots, tab):
         nt = slots.shape[0]
@@ -102,8 +105,10 @@ def main():
     tab = jnp.asarray(rng.rand(NT * CHUNK, F), jnp.float32)
 
     def body_oh(c):
-        out = onehot_call(slots ^ (c[0] & 0), tab)
-        return out[0, :1, :1].astype(jnp.int32)
+        # real carry dependence (& 1, not & 0): a loop-invariant body gets
+        # hoisted and the loop times ONE iteration, not ITERS
+        out = onehot_call(slots ^ (c[0] & 1), tab)
+        return out[0, :1, 0].astype(jnp.int32)
 
     def loop(body):
         return (lambda c: lax.fori_loop(0, ITERS, lambda i, cc: body(cc),
@@ -132,7 +137,7 @@ def main():
 
     def body_take(c):
         out = jnp.take(tab, (gidx + c[0]) % (NT * CHUNK), axis=0)
-        return out[:1, :1].astype(jnp.int32)
+        return out[:1, 0].astype(jnp.int32)
     fn, c0 = loop(body_take)
     timeit(f"XLA take {NT * PIX / 1e6:.1f}M rows ({F} cols)", fn, c0)
 
@@ -146,7 +151,7 @@ def main():
     t_x = jnp.asarray(rng.randint(0, R, (NT, PIX)).astype(np.int32))
 
     def body_fact(c):
-        ty = (t_y + (c[0] & 0))
+        ty = (t_y + (c[0] & 1)) % R
         oh = (ty[:, :, None] == jnp.arange(R, dtype=jnp.int32)
               ).astype(jnp.float32)                     # (NT, PIX, R)
         rowsel = jnp.einsum("tpr,trf->tpf", oh, regions)  # (NT,PIX,R*C)
@@ -154,7 +159,7 @@ def main():
         ohx = (t_x[:, :, None] == jnp.arange(R, dtype=jnp.int32)
                ).astype(jnp.float32)                    # (NT, PIX, R)
         out = jnp.einsum("tprc,tpr->tpc", rs, ohx)      # (NT, PIX, C)
-        return out[:1, :1, :1].astype(jnp.int32)
+        return out[:1, 0, 0].astype(jnp.int32)
     fn, c0 = loop(body_fact)
     timeit(f"factorized region fetch {NT}x{PIX}px ({R}x{R} region, "
            f"{C} ch)", fn, c0)
@@ -162,7 +167,7 @@ def main():
     # same, but the row contraction via MXU-shaped matmul per tile and
     # the column select via a VPU dot (batched) — flattened tiles
     def body_fact2(c):
-        ty = (t_y + (c[0] & 0)).reshape(NT * PIX)
+        ty = ((t_y + (c[0] & 1)) % R).reshape(NT * PIX)
         tx = t_x.reshape(NT * PIX)
         # gather instead: one take of NT*PIX rows from (NT*R, R*C) —
         # row-count reference for the region-local fetch
@@ -173,7 +178,7 @@ def main():
         ohx = (tx[:, None] == jnp.arange(R, dtype=jnp.int32)
                ).astype(jnp.float32)
         out = jnp.einsum("prc,pr->pc", rs, ohx)
-        return out[:1, :1].astype(jnp.int32)
+        return out[:1, 0].astype(jnp.int32)
     fn, c0 = loop(body_fact2)
     timeit("row-take + column one-hot (hybrid)", fn, c0)
 
