@@ -77,9 +77,12 @@ def main():
         print("    reshape correct:", np.allclose(got, want), flush=True)
 
     # -- 2. one-hot matmul per step on flat planes -----------------------
-    # slot plane (1, PIX) int32 in [-1, CHUNK); table (CHUNK, F)
+    # slot plane fed as native (TILE_H, TILE_W) tile blocks (a (1, PIX)
+    # block over an (NT, PIX) array is ILLEGAL: leading block dim 1 is
+    # neither 8-divisible nor array-equal); reshape in-kernel (probe 1
+    # proves the 2D->2D minor collapse legal). table (CHUNK, F).
     def k_onehot(slot_ref, tab_ref, o_ref):
-        sl = slot_ref[:]                                   # (1, PIX) i32
+        sl = slot_ref[:].reshape(1, PIX)                   # i32
         rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PIX), 0)
         oh = (rows == sl).astype(jnp.float32)              # (CHUNK, PIX)
         o_ref[:] = jax.lax.dot_general(
@@ -87,11 +90,11 @@ def main():
             preferred_element_type=jnp.float32)[None]      # (1, F, PIX)
 
     def onehot_call(slots, tab):
-        nt = slots.shape[0]
+        nt = slots.shape[0] // TILE_H
         return pl.pallas_call(
             k_onehot,
             grid=(nt,),
-            in_specs=[pl.BlockSpec((1, PIX), lambda i: (i, 0),
+            in_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((CHUNK, F), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)],
@@ -101,7 +104,8 @@ def main():
         )(slots, tab)
 
     NT = 510                                  # 1080p tile count
-    slots = jnp.asarray(rng.randint(-1, CHUNK, (NT, PIX)).astype(np.int32))
+    slots = jnp.asarray(
+        rng.randint(-1, CHUNK, (NT * TILE_H, TILE_W)).astype(np.int32))
     tab = jnp.asarray(rng.rand(NT * CHUNK, F), jnp.float32)
 
     def body_oh(c):
@@ -122,7 +126,7 @@ def main():
         want = np.zeros((NT, F, PIX), np.float32)
         for i in range(4):                    # spot-check 4 tiles
             for p in range(0, PIX, 997):
-                s = sl[i, p]
+                s = sl[i * TILE_H + p // TILE_W, p % TILE_W]
                 if 0 <= s < CHUNK:
                     want[i, :, p] = np.asarray(tab)[i * CHUNK + s]
                 ok = np.allclose(got[i, :, p], want[i, :, p], atol=1e-5)
@@ -181,6 +185,88 @@ def main():
         return out[:1, 0].astype(jnp.int32)
     fn, c0 = loop(body_fact2)
     timeit("row-take + column one-hot (hybrid)", fn, c0)
+
+    # -- 5. IN-KERNEL per-tile region sampler: bilinear weights ride the
+    #       contractions. Per tile, a (C*R, R) channel-blocked texel
+    #       region; wy/wx are built dense in-kernel from ty/fy planes with
+    #       the 2-tap bilinear weights in place of the one-hot — the
+    #       matmul does filter + fetch at once, zero gathers.
+    #       out_c[p] = sum_y sum_x region[c*R+y, x] * wy[y,p] * wx[x,p]
+    def make_region_kernel(R):
+        def k_region(ty_ref, fy_ref, tx_ref, fx_ref, reg_ref, o_ref):
+            ty = ty_ref[:].reshape(1, PIX)
+            fy = fy_ref[:].reshape(1, PIX)
+            tx = tx_ref[:].reshape(1, PIX)
+            fx = fx_ref[:].reshape(1, PIX)
+            ry = jax.lax.broadcasted_iota(jnp.int32, (R, PIX), 0)
+            wy = (jnp.where(ry == ty, 1.0 - fy, 0.0)
+                  + jnp.where(ry == ty + 1, fy, 0.0))       # (R, PIX)
+            wx = (jnp.where(ry == tx, 1.0 - fx, 0.0)
+                  + jnp.where(ry == tx + 1, fx, 0.0))       # (R, PIX)
+            for c in range(C):
+                sub = reg_ref[0, c * R:(c + 1) * R, :]      # (R_y, R_x)
+                a = jax.lax.dot_general(
+                    sub, wy, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (R_x, PIX)
+                o_ref[0, c, :] = jnp.sum(a * wx, axis=0)
+
+        def call(ty, fy, tx, fx, regs):
+            nt = ty.shape[0] // TILE_H
+            px_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                k_region,
+                grid=(nt,),
+                in_specs=[px_spec] * 4 + [
+                    pl.BlockSpec((1, C * R, R), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, C, PIX), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nt, C, PIX), jnp.float32),
+            )(ty, fy, tx, fx, regs)
+        return call
+
+    for R2 in (32, 64):
+        call = make_region_kernel(R2)
+        ty2 = jnp.asarray(rng.randint(0, R2 - 1, (NT * TILE_H, TILE_W))
+                          .astype(np.int32))
+        tx2 = jnp.asarray(rng.randint(0, R2 - 1, (NT * TILE_H, TILE_W))
+                          .astype(np.int32))
+        fy2 = jnp.asarray(rng.rand(NT * TILE_H, TILE_W), jnp.float32)
+        fx2 = jnp.asarray(rng.rand(NT * TILE_H, TILE_W), jnp.float32)
+        regs = jnp.asarray(rng.rand(NT, C * R2, R2), jnp.float32)
+
+        def body_reg(c, call=call, ty2=ty2, fy2=fy2, tx2=tx2, fx2=fx2,
+                     regs=regs, R2=R2):
+            out = call((ty2 + (c[0] & 1)) % (R2 - 1), fy2, tx2, fx2, regs)
+            return out[:1, 0, 0].astype(jnp.int32)
+        fn, c0 = loop(body_reg)
+        t = timeit(f"in-kernel region sampler {NT} tiles R={R2} C={C}",
+                   fn, c0)
+        if t is not None:
+            got = np.asarray(jax.jit(call)(ty2, fy2, tx2, fx2, regs))
+            tyn, txn = np.asarray(ty2), np.asarray(tx2)
+            fyn, fxn = np.asarray(fy2), np.asarray(fx2)
+            rn = np.asarray(regs)
+            ok = True
+            for i in range(3):
+                for p in range(0, PIX, 1499):
+                    r0, c0_ = p // TILE_W, p % TILE_W
+                    y, x = tyn[i * TILE_H + r0, c0_], txn[i * TILE_H + r0,
+                                                          c0_]
+                    gy, gx = fyn[i * TILE_H + r0, c0_], fxn[i * TILE_H
+                                                            + r0, c0_]
+                    want = ((rn[i, 0 * R2 + y, x] * (1 - gy)
+                             + rn[i, 0 * R2 + y + 1, x] * gy) * (1 - gx)
+                            + (rn[i, 0 * R2 + y, x + 1] * (1 - gy)
+                               + rn[i, 0 * R2 + y + 1, x + 1] * gy) * gx)
+                    if not np.allclose(got[i, 0, p], want, atol=1e-4):
+                        print(f"    MISMATCH tile {i} px {p}: "
+                              f"{got[i, 0, p]} vs {want}", flush=True)
+                        ok = False
+                        break
+            print(f"    region sampler R={R2} spot-check "
+                  f"{'OK' if ok else 'FAILED'}", flush=True)
 
 
 if __name__ == "__main__":
