@@ -17,11 +17,14 @@ ITERS = 30
 def timeit(name, fn, *args):
     import jax
     f = jax.jit(fn)
-    out = f(*args); jax.block_until_ready(out)
+    # fetch (not just block): scalar-only outputs return from
+    # block_until_ready BEFORE tunnel execution completes (BENCHLOG
+    # 2026-08-18 relay hazard)
+    float(np.asarray(f(*args)))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        out = f(*args); jax.block_until_ready(out)
+        float(np.asarray(f(*args)))
         best = min(best, (time.perf_counter() - t0) / ITERS * 1000)
     print(f"{name:52s} {best:8.2f} ms/iter", flush=True)
     return best
@@ -119,6 +122,18 @@ def big_scene():
     m = make_mesh(pos, quads, color=col, uv=uv)
     print(f"triangles: {m.num_triangles}", flush=True)
     tex = bp.load_texture()
+    if os.environ.get("RAYEATER_PROF_MIP"):
+        # mipmapped sampler: engages the subtile window sampler
+        # (sampling._sample_subtile) unless RAYEATER_SUBTILE=0 — the
+        # three-way texture A/B (packed non-mip / mip gather / subtile)
+        from ray_eater_tpu.core.resources import Sampler
+        import ray_eater_tpu.core.resources as res_mod
+        u8 = np.clip(np.asarray(tex.data) * 255, 0, 255).astype(np.uint8)
+        tex = res_mod.texture_from_array(
+            u8, Sampler(mipmap=True, max_anisotropy=4.0), srgb=False)
+        print("mip sampler; win_table:",
+              None if tex.win_table is None else tex.win_table.shape,
+              flush=True)
     from ray_eater_tpu.core.pipeline import CullMode, RasterState
     # double-sided: a backface-culled grid would understate the cost
     pipe = re.GraphicsPipeline(vertex_fn=re.shaders.mvp_vertex,
@@ -161,7 +176,7 @@ def big_scene():
         clip, _ = flat_pipe.vertex_fn(m.positions, m.attributes, uni)
         setup, inv_w, z_tri, bary_mix = raster_ops._triangle_setup(
             clip, m.indices, flat_pipe.state, W, H)
-        gdepth, gtri, gl0, gl1 = raster_ops._raster_call(
+        gdepth, gtri, gl0, gl1, _ = raster_ops._raster_call(
             setup, fb.depth, W, H, depth_test=True, last_wins=False,
             interpret=ctx.interpret, n_tris=inv_w.shape[0])
         return t + gdepth[0, 0] * 1e-12 + gl0[0, 0] * 1e-12 \
@@ -174,7 +189,7 @@ def big_scene():
         setup, inv_w, z_tri, bary_mix = raster_ops._triangle_setup(
             clip, m.indices, flat_pipe.state, W, H)
         ntx, nty = 1920 // raster_ops.TILE_W, 1088 // raster_ops.TILE_H
-        pack, steps, visited, ovb = raster_ops._bin_triangles(
+        pack, _, steps, visited, ovb = raster_ops._bin_triangles(
             setup, ntx, nty)
         return t + pack[0, 0] * 1e-12 + steps[0][0].astype(
             jnp.float32) * 1e-12
