@@ -154,8 +154,18 @@ class Texture:
     #: with a per-pixel level.
     mip_table: jnp.ndarray | None = None    # (sum h_l*w_l, 4) int32
     mip_dims: tuple = ()                    # ((h_l, w_l, offset), ...)
+    #: overlap-window table for the gather-free SUBTILE sampler
+    #: (sampling._sample_subtile): per mip level, 32x32-texel windows at
+    #: stride 16 covering the level cyclically (REPEAT) or clamped;
+    #: channel-blocked (4*32, 32) f32 linear-light — texels decoded from
+    #: the SAME u8-quantized mip levels the gather path samples, so the
+    #: two paths agree to filter precision. HBM cost ~5.3x the f32 base
+    #: image (4x overlap duplication x 1.33 mip tail) — the deliberate
+    #: bandwidth-for-gathers trade; RAYEATER_SUBTILE=0 opts out.
+    win_table: jnp.ndarray | None = None    # (NWIN, 128, 32) f32
+    win_dims: tuple = ()                    # ((nwy_l, nwx_l, off_l), ...)
 
-    _static_fields = ("sampler", "packed_srgb", "mip_dims")
+    _static_fields = ("sampler", "packed_srgb", "mip_dims", "win_dims")
 
     @property
     def height(self) -> int:
@@ -205,15 +215,39 @@ def texture_from_array(rgba_u8: np.ndarray, sampler: Sampler | None = None,
         f[..., :3] = srgb_to_linear(f[..., :3])
     packed = None
     mip_table, mip_dims = None, ()
+    win_table, win_dims = None, ()
     if pack and sampler.filter is Filter.LINEAR:
         packed = jnp.asarray(
             _pack_quad_texels(np.asarray(rgba_u8), sampler.address_mode))
         if sampler.mipmap:
-            mip_table, mip_dims = _build_mip_pyramid(
+            mip_table, mip_dims, lvl_u8s = _build_mip_pyramid(
                 np.asarray(rgba_u8), f, srgb, sampler.address_mode)
+            h0, w0 = rgba_u8.shape[:2]
+            if sampler.address_mode is not AddressMode.REPEAT:
+                # clamp-extended windows work at ANY level size: the
+                # window grid is ceil(n/16) wide so the last window
+                # covers the clamped edge, and the window-index mod in
+                # sampling.tap_planes is an identity for in-range coords
+                ok = True
+            else:
+                # REPEAT windows wrap cyclically — every level must tile
+                # the wrap period exactly (n % 16 == 0) or divide the
+                # 16-texel stride (sub-16 pow2 tails). Pow2 dims satisfy
+                # this at every level.
+                def _rep_ok(n):
+                    while n > 1:
+                        if n % 16 and 16 % n:
+                            return False
+                        n = max(n // 2, 1)
+                    return True
+                ok = _rep_ok(h0) and _rep_ok(w0)
+            if ok:
+                win_table, win_dims = _build_win_table(
+                    lvl_u8s, srgb, sampler.address_mode)
     return Texture(data=jnp.asarray(f), sampler=sampler, packed=packed,
                    packed_srgb=bool(srgb), mip_table=mip_table,
-                   mip_dims=mip_dims)
+                   mip_dims=mip_dims, win_table=win_table,
+                   win_dims=win_dims)
 
 
 def _build_mip_pyramid(u8: np.ndarray, linear: np.ndarray, srgb: bool,
@@ -222,7 +256,7 @@ def _build_mip_pyramid(u8: np.ndarray, linear: np.ndarray, srgb: bool,
     mip generation does), re-encoded to RGBA8 (sRGB when the base is) and
     quad-packed per level into one flat (sum h_l*w_l, 4) int32 table."""
     from ..io.image import linear_to_srgb
-    levels, dims, off = [], [], 0
+    levels, dims, u8s, off = [], [], [], 0
     lvl_lin = linear
     lvl_u8 = u8
     while True:
@@ -230,6 +264,7 @@ def _build_mip_pyramid(u8: np.ndarray, linear: np.ndarray, srgb: bool,
         q = _pack_quad_texels(lvl_u8, mode).reshape(h * w, 4)
         levels.append(q)
         dims.append((h, w, off))
+        u8s.append(lvl_u8)
         off += h * w
         if h == 1 and w == 1:
             break
@@ -247,7 +282,55 @@ def _build_mip_pyramid(u8: np.ndarray, linear: np.ndarray, srgb: bool,
         if srgb:
             enc[..., :3] = np.asarray(linear_to_srgb(enc[..., :3]))
         lvl_u8 = np.clip(np.round(enc * 255.0), 0, 255).astype(np.uint8)
-    return jnp.asarray(np.concatenate(levels)), tuple(dims)
+    return jnp.asarray(np.concatenate(levels)), tuple(dims), u8s
+
+
+#: subtile-sampler window geometry: 32x32-texel windows at stride 16 — a
+#: subtile whose level-l texel span is <= ~14 always fits one window
+#: (origin snaps down to a 16 grid, so the span can start up to 15 texels
+#: in; +1 bilinear neighbor uses row/col 31)
+_WIN = 32
+_WIN_STRIDE = 16
+
+
+def _build_win_table(lvl_u8s, srgb: bool, mode: AddressMode):
+    """Overlap-window table for :func:`sampling._sample_subtile`: for each
+    mip level, every (16-strided) 32x32 texel window as a channel-blocked
+    (4*32, 32) f32 linear block. Texels come from the same u8-quantized
+    levels as ``mip_table``, so the subtile sampler and the gather path
+    agree to filter precision. REPEAT wraps window content cyclically;
+    CLAMP/MIRRORED clamp (the sampler pre-wraps coordinates continuously,
+    so clamped edge texels are exactly what bilinear needs there)."""
+    from ..io.image import srgb_to_linear
+    wins, dims, off = [], [], 0
+    for lvl_u8 in lvl_u8s:
+        h, w = lvl_u8.shape[:2]
+        f = lvl_u8.astype(np.float32) / 255.0
+        if srgb:
+            f[..., :3] = np.asarray(srgb_to_linear(f[..., :3]))
+        if mode is AddressMode.REPEAT:
+            # wrap period nw*stride must equal n (or n divides the
+            # stride): texture_from_array gates dims accordingly
+            nwy = max(h // _WIN_STRIDE, 1)
+            nwx = max(w // _WIN_STRIDE, 1)
+        else:
+            # clamp extension: ceil so the last window covers the edge
+            nwy, nwx = -(-h // _WIN_STRIDE), -(-w // _WIN_STRIDE)
+        iy = np.arange(nwy * _WIN_STRIDE + _WIN_STRIDE)
+        ix = np.arange(nwx * _WIN_STRIDE + _WIN_STRIDE)
+        if mode is AddressMode.REPEAT:
+            iy, ix = iy % h, ix % w
+        else:
+            iy, ix = np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)
+        ext = f[iy][:, ix]                              # (Hext, Wext, 4)
+        sw = np.lib.stride_tricks.sliding_window_view(
+            ext, (_WIN, _WIN), axis=(0, 1))[::_WIN_STRIDE, ::_WIN_STRIDE]
+        # (nwy, nwx, 4, 32, 32) -> channel-blocked (nwy*nwx, 4*32, 32)
+        wins.append(np.ascontiguousarray(sw).reshape(
+            nwy * nwx, 4 * _WIN, _WIN))
+        dims.append((nwy, nwx, off))
+        off += nwy * nwx
+    return jnp.asarray(np.concatenate(wins)), tuple(dims)
 
 
 def texture_from_file(path: str, sampler: Sampler | None = None,

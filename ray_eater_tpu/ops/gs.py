@@ -500,7 +500,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 big_cap: int | None = None,
                 corner_cap: int | None = None,
                 budget=None, tail=None, tile_w: int = TILE_W,
-                records=None):
+                records=None, nseg: int = 1):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
@@ -713,7 +713,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     else:
         sorted_key, sorted_splat = jax.lax.sort(
             (key_flat, splat_of_pair), num_keys=1, is_stable=False)
-    mpad = _pad_to(m, CHUNK)
+    mpad = _pad_to(m, CHUNK * nseg)
     if mpad > m:
         if sorted_splat is not None:
             sorted_splat = jnp.concatenate(
@@ -832,16 +832,18 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         overflow = jnp.sum(count - kept)
         maxblk = mpad // CHUNK - 1
     else:
-        # the cap never needs to exceed the (padded) emission count
-        cap_pairs = min(cap_pairs, mpad)
+        # the cap never needs to exceed the (padded) emission count;
+        # multi-chunk grid steps (nseg > 1) stream BLK-sized blocks
+        blk = CHUNK * nseg
+        cap_pairs = min(_pad_to(min(cap_pairs, mpad), blk), mpad)
         total_pairs = start[ntiles]
         overflow = jnp.maximum(total_pairs - cap_pairs, 0)    # in pairs
         # global cap: pairs beyond cap_pairs are dropped positionally (the
         # sorted array's tail = the highest tile ids). Detect via
         # overflow / return_stats; max_per_tile is the graceful knob.
         kept = jnp.clip(jnp.minimum(count, cap_pairs - startc), 0)
-        cap_steps = cap_pairs // CHUNK + ntiles  # ≤1 boundary step/tile
-        maxblk = cap_pairs // CHUNK - 1
+        cap_steps = cap_pairs // blk + ntiles    # ≤1 boundary step/tile
+        maxblk = cap_pairs // blk - 1
 
     if max_per_tile is not None:
         # ALIGNED chunk layout: every tile's kept list is repositioned to
@@ -898,9 +900,9 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         # complementary masks, and the pack array IS the sorted head
         # (one slice, no gather).
         end = startc + kept
-        first_block = startc // CHUNK
+        first_block = startc // blk
         nsteps = jnp.where(kept > 0,
-                           (end + CHUNK - 1) // CHUNK - first_block, 0)
+                           (end + blk - 1) // blk - first_block, 0)
         step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                     jnp.cumsum(nsteps).astype(jnp.int32)])
         total_steps = step_off[-1]
@@ -916,12 +918,12 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
             jnp.clip(first_block[owner] + (sid - step_off[owner]), 0,
                      maxblk),
             sid % (maxblk + 1))
-        blk_base = orig_block * CHUNK
+        blk_base = orig_block * blk
         step_lo = jnp.where(live_step,
-                            jnp.clip(startc[owner] - blk_base, 0, CHUNK),
+                            jnp.clip(startc[owner] - blk_base, 0, blk),
                             0)
         step_hi = jnp.where(live_step,
-                            jnp.clip(end[owner] - blk_base, 0, CHUNK), 0)
+                            jnp.clip(end[owner] - blk_base, 0, blk), 0)
         step_block = orig_block
         if payload:
             # assemble (cap_pairs, _ROWS) packed records from the sorted
@@ -972,7 +974,7 @@ _PIX = TILE_H * TILE_W          # pixels per tile, flattened
 def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
                       step_lo_ref, step_hi_ref, rec_ref,
                       r_ref, g_ref, b_ref, t_ref, e_ref, sat_ref, *,
-                      ntx, ntiles, tile_w):
+                      ntx, ntiles, tile_w, nseg=1):
     """Whole-chunk vectorized compositing over a tile-flattened (1, 2048)
     pixel block — no per-splat scalar loop.
 
@@ -1012,12 +1014,29 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
             # executed-depth telemetry: pairs this tile actually
             # composited before saturating (drives temporal LOD budgets)
             e_ref[0] = e_ref[0] + (hi - lo)
-            _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref,
-                             tile, ntx, lo, hi, tile_w)
+            if nseg == 1:
+                _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref,
+                                 sat_ref, tile, ntx, lo, hi, tile_w)
+            else:
+                # MULTI-CHUNK step (exact mode): nseg CHUNK-sub-blocks
+                # composite inside one grid step with the saturation
+                # early-out re-checked between them — exact-mode grid
+                # steps are mostly skipped ones, and their fixed
+                # sequencing cost (~0.66 us/step) was the largest single
+                # line of the exact frame (BENCHLOG round-3 inventory).
+                for g in range(nseg):
+                    glo = jnp.clip(lo - g * CHUNK, 0, CHUNK)
+                    ghi = jnp.clip(hi - g * CHUNK, 0, CHUNK)
+
+                    @pl.when((ghi > glo) & (sat_ref[0] == 0))
+                    def _(g=g, glo=glo, ghi=ghi):
+                        _composite_chunk(rec_ref, r_ref, g_ref, b_ref,
+                                         t_ref, sat_ref, tile, ntx, glo,
+                                         ghi, tile_w, row0=g * CHUNK)
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
-                     ntx, lo, hi, tile_w=TILE_W):
+                     ntx, lo, hi, tile_w=TILE_W, row0=0):
     pix = TILE_H * tile_w
     shift = tile_w.bit_length() - 1          # tile_w is a power of two
     ty0 = (tile // ntx) * TILE_H
@@ -1029,7 +1048,8 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
     py = (jax.lax.shift_right_logical(i, shift) + ty0
           ).astype(jnp.float32) + 0.5
 
-    col = lambda c: rec_ref[:, c:c + 1]             # (C, 1)
+    # ``row0``: static sub-block offset within a multi-chunk record block
+    col = lambda c: rec_ref[row0:row0 + CHUNK, c:c + 1]      # (C, 1)
     dx = px - col(_MX)                              # (C, P)
     dy = py - col(_MY)
     power = (-0.5 * (col(_CA) * dx * dx + col(_CC) * dy * dy)
@@ -1063,7 +1083,8 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
 
     # rgb accumulation: contract the splat axis on the MXU
     rgb = jax.lax.dot_general(
-        rec_ref[:, _CR:_CB2 + 1], w, (((0,), (0,)), ((), ())),
+        rec_ref[row0:row0 + CHUNK, _CR:_CB2 + 1], w,
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (3, P)
     r_ref[0] = r_ref[0] + rgb[0:1]
     g_ref[0] = g_ref[0] + rgb[1:2]
@@ -1074,7 +1095,7 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
 
 
 def _composite_call(records, steps, nty, ntx, interpret,
-                    tile_w: int = TILE_W):
+                    tile_w: int = TILE_W, nseg: int = 1):
     """Returns 4 tile-flattened planes (ntiles+1, 1, _PIX): r, g, b, T,
     plus ``exec`` (ntiles+1, 1, 128) int32 — the pairs each tile actually
     composited before transmittance saturation (lane-replicated; rows of
@@ -1087,7 +1108,7 @@ def _composite_call(records, steps, nty, ntx, interpret,
     step_tile, step_first, step_block, step_lo, step_hi = steps
     nsteps = step_tile.shape[0]
     kernel = functools.partial(_composite_kernel, ntx=ntx, ntiles=ntiles,
-                               tile_w=tile_w)
+                               tile_w=tile_w, nseg=nseg)
 
     def out_map(si, st, sf, sb, sl, sh):
         return (jnp.minimum(st[si], ntiles), 0, 0)  # sentinel → extra row
@@ -1096,7 +1117,7 @@ def _composite_call(records, steps, nty, ntx, interpret,
         num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((CHUNK, _ROWS),
+            pl.BlockSpec((nseg * CHUNK, _ROWS),
                          lambda si, st, sf, sb, sl, sh: (sb[si], 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1497,7 +1518,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      return_stats: bool = False,
                      interpret: bool = False,
                      tile_w: int = TILE_W,
-                     payload_sort: bool = True) -> jnp.ndarray:
+                     payload_sort: bool = True,
+                     exact_seg: int = 8) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
 
@@ -1567,6 +1589,13 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     the corner fraction is (2r/tile_w)(2r/32) per splat; n//4 is safe
     for fog-like scenes at tile_w=32, n//8 at 64+.
 
+    ``exact_seg``: chunks per composite grid step in exact/direct mode —
+    exact frames sequence one grid step per 128-pair block and most steps
+    are saturation-skipped, so their fixed ~0.66 us sequencing cost
+    dominates; streaming ``exact_seg`` chunks per step with the early-out
+    re-checked between sub-chunks divides it. (The LOD layout keeps
+    1 chunk/step: its block-granular pool grants are 128-pair-quantized.)
+
     ``tile_w`` (32/64/128): composite tile width in pixels. Narrower
     tiles make the composite FOOTPRINT-TIGHT — a splat's chunk evaluates
     TILE_H*tile_w pixels, so at 32 the per-pair vector work drops 4x
@@ -1612,6 +1641,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     # (max_splats_per_tile sizes its own compact pack layout inside
     # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = _pad_to(cap_pairs, CHUNK)
+    nseg = exact_seg if max_splats_per_tile is None else 1
     tail_in = None
     if max_splats_per_tile is not None and lod_tail:
         # per-splat total alpha integral: op * 2π / sqrt(det(conic))
@@ -1631,7 +1661,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                 budget=lod_budget, tail=tail_in,
                 tile_w=tile_w,
                 records=(records if payload_sort
-                         and max_splats_per_tile is None else None))
+                         and max_splats_per_tile is None else None),
+                nseg=nseg)
     with jax.named_scope("gs.pack"):
         # exact mode: records rode the sort as payload columns and
         # pack_idx already IS the packed array (see _bin_splats); the
@@ -1645,7 +1676,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
 
     with jax.named_scope("gs.composite"):
         r, g, b, t, texec = _composite_call(packed, steps, nty, ntx,
-                                            interpret, tile_w)
+                                            interpret, tile_w, nseg=nseg)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background,
                           tail_slab=tail_slab, tile_w=tile_w)
     img = img[:height, :width]

@@ -39,6 +39,7 @@ edge-on-pixel-center case.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -321,7 +322,7 @@ def _raster_kernel(setup_ref, depth_init_ref, depth_ref, tri_ref,
     jax.lax.fori_loop(0, nfold, fold, None)
 
 
-def _bin_triangles(setup, ntx: int, nty: int):
+def _bin_triangles(setup, ntx: int, nty: int, feat=None):
     """GS-style tile binning for triangles (design cf. ops/gs._bin_splats:
     emit → one sort → direct chunk layout with block-local [lo, hi)).
 
@@ -331,9 +332,14 @@ def _bin_triangles(setup, ntx: int, nty: int):
     (_BIG_TRI_CAP) all-tiles fan for larger ones. One UNSTABLE int32 sort
     groups pairs into per-tile runs; low bits carry the setup column, so
     runs are in draw order (ties under LESS_EQUAL resolve identically to
-    the dense kernel) and the sort needs no payload. Returns
-    (pack (cap, _ROWS) pair-ordered setup rows, steps scalar-prefetch
-    tuple, visited (ntiles,), overflow_big scalar)."""
+    the dense kernel) and the sort needs no payload. When ``feat`` (t2, F)
+    per-triangle shade features is given, feature rows are packed into
+    pair order by the same id gather as the setup rows (cheap at triangle
+    scale — see the in-body note on why this is NOT a payload-sort).
+
+    Returns (pack (cap, _ROWS) pair-ordered setup rows, fpack — (cap, F)
+    pair-ordered feature rows or None, steps scalar-prefetch tuple,
+    visited (ntiles,), overflow_big scalar)."""
     t2 = setup.shape[1]
     ntiles = ntx * nty
     idb = max(t2 - 1, 1).bit_length()
@@ -372,14 +378,25 @@ def _bin_triangles(setup, ntx: int, nty: int):
            & (t_y[None, :] <= bty1[:, None]))            # (B, ntiles)
     bkey = jnp.where(bok, (tid[None, :] << idb) | bidx[:, None], sentinel)
     key_flat = jnp.concatenate(keys + [bkey.reshape(-1)])
-    sorted_key = jax.lax.sort(key_flat, is_stable=False)
-
     m = key_flat.shape[0]
     cap = _pad_to(m, CHUNK)
+    sorted_key = jax.lax.sort(key_flat, is_stable=False)
     if cap > m:
         sorted_key = jnp.concatenate(
             [sorted_key, jnp.full(cap - m, sentinel, jnp.int32)])
     ids = jnp.clip(sorted_key & ((1 << idb) - 1), 0, t2 - 1)
+    # pack the setup columns into pair order: one (cap, _ROWS) gather.
+    # NOTE triangle binning deliberately does NOT payload-sort (unlike
+    # gs._bin_splats): ids already ride the key's low bits, the pack is
+    # only ~cap≈10·t2 rows (sub-ms at 10k tris, gathers run ~140-210M
+    # rows/s), and a key+_ROWS+F-operand lax.sort (~35 operands) blows up
+    # XLA sort-comparator compilation (observed: >40 min vs seconds).
+    pack = jnp.take(setup.T, ids, axis=0)
+    fpack = None
+    if feat is not None:
+        if feat.shape[0] < t2:       # setup lanes are CHUNK-padded
+            feat = jnp.pad(feat, ((0, t2 - feat.shape[0]), (0, 0)))
+        fpack = jnp.take(feat, ids, axis=0)                # (cap, F)
 
     tvec = jnp.arange(ntiles + 1, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_key, tvec << idb,
@@ -410,21 +427,24 @@ def _bin_triangles(setup, ntx: int, nty: int):
                         jnp.clip(startc[owner] - blk_base, 0, CHUNK), 0)
     step_hi = jnp.where(live_step,
                         jnp.clip(end[owner] - blk_base, 0, CHUNK), 0)
-    # pack the setup columns into pair order: one (cap, _ROWS) row gather
-    pack = jnp.take(setup.T, ids, axis=0)
     steps = (step_tile, step_first, orig_block, step_lo, step_hi)
-    return pack, steps, count > 0, overflow_big
+    return pack, fpack, steps, count > 0, overflow_big
 
 
 def _raster_kernel_binned(step_tile_ref, step_first_ref, step_block_ref,
                           step_lo_ref, step_hi_ref, pack_ref,
                           depth_init_ref, depth_ref, tri_ref, l0_ref,
-                          l1_ref, *, width, height, depth_test, last_wins,
-                          ntx, ntiles, less_equal=False, static_test=False):
+                          l1_ref, slot_ref, *, width, height, depth_test,
+                          last_wins, ntx, ntiles, less_equal=False,
+                          static_test=False):
     """Binned variant of :func:`_raster_kernel`: a 1-D grid over
     scalar-prefetched steps; step s folds the [lo, hi) rows of pack block
     ``step_block[s]`` into its owning tile (same fold semantics as the
-    dense kernel — winner id comes from the packed _GID column)."""
+    dense kernel — winner id comes from the packed _GID column). Also
+    records the winner's global PACK SLOT (block*CHUNK + row) per pixel —
+    the key the shade-fetch kernel's per-step one-hot matmul needs
+    (tools/exp_shade.py: in-kernel one-hot fetch beats the per-pixel row
+    gather 2.65 vs 6.13 ms at 510 steps)."""
     si = pl.program_id(0)
     tile = step_tile_ref[si]
 
@@ -438,6 +458,7 @@ def _raster_kernel_binned(step_tile_ref, step_first_ref, step_block_ref,
             tri_ref[:] = jnp.full_like(tri_ref[:], -1)
             l0_ref[:] = jnp.zeros_like(l0_ref[:])
             l1_ref[:] = jnp.zeros_like(l1_ref[:])
+            slot_ref[:] = jnp.full_like(slot_ref[:], -1)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0
                                        ).astype(jnp.float32)
@@ -481,17 +502,97 @@ def _raster_kernel_binned(step_tile_ref, step_first_ref, step_block_ref,
                 tri_ref[:] = jnp.where(upd, gid, tri_ref[:])
                 l0_ref[:] = jnp.where(upd, lam0, l0_ref[:])
                 l1_ref[:] = jnp.where(upd, lam1, l1_ref[:])
+                slot_ref[:] = jnp.where(
+                    upd, step_block_ref[si] * CHUNK + c, slot_ref[:])
 
         jax.lax.fori_loop(0, CHUNK, fold, None)
 
 
+def _shade_fetch_kernel(step_tile_ref, step_first_ref, step_block_ref,
+                        step_lo_ref, step_hi_ref, slot_ref, fpack_ref,
+                        o_ref, *, ntiles, pix):
+    """Steps-driven winner-feature fetch: for each binning step, a
+    (CHUNK, PIX) one-hot of (winner slot == this block's rows) contracted
+    against the step's (CHUNK, F) feature block on the MXU — replacing the
+    per-pixel (P, F) row gather, which is the raster frame's largest cost
+    at scale (BENCHLOG known-bottleneck 1/5; tools/exp_shade3.py: 4.0 ms
+    at 3060 steps vs 6.6 ms gather). Precision HIGHEST: features carry
+    geometry (inv_w, z, uv) that a single bf16 pass would corrupt
+    (tools/exp_shade2.py) — the 0/1 one-hot operand is bf16-exact, so the
+    3-pass product is f32-faithful.
+
+    A pixel's winner slot lies inside its own tile's pack run, so the
+    block-row equality needs no [lo, hi) masking; straddle blocks shared
+    by two tiles accumulate into different out blocks."""
+    si = pl.program_id(0)
+    tile = step_tile_ref[si]
+
+    @pl.when(tile < ntiles)
+    def _():
+        @pl.when(step_first_ref[si] == 1)
+        def _init():
+            o_ref[:] = jnp.zeros_like(o_ref[:])
+        sl = slot_ref[:].reshape(1, pix) - step_block_ref[si] * CHUNK
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, pix), 0)
+        oh = (rows == sl).astype(jnp.float32)
+        o_ref[:] += jax.lax.dot_general(
+            fpack_ref[:], oh, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)[None]
+
+
+def _shade_fetch_call(fpack, steps, slot_plane, ntx, nty, interpret):
+    """Run :func:`_shade_fetch_kernel` over the binning steps; returns
+    per-pixel features (H, W, F) untiled from the (ntiles, F, PIX)
+    accumulator."""
+    ntiles = ntx * nty
+    nfeat = fpack.shape[1]
+    pix = TILE_H * TILE_W
+    nsteps = steps[0].shape[0]
+    kernel = functools.partial(_shade_fetch_kernel, ntiles=ntiles, pix=pix)
+
+    def tmap(si, st, sf, sb, sl, sh):
+        return (jnp.minimum(st[si], ntiles - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda si, st, sf, sb, sl, sh: (
+                             jnp.minimum(st[si], ntiles - 1) // ntx,
+                             jnp.minimum(st[si], ntiles - 1) % ntx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, nfeat),
+                         lambda si, st, sf, sb, sl, sh: (sb[si], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nfeat, pix),
+            lambda si, st, sf, sb, sl, sh: (
+                jnp.minimum(st[si], ntiles - 1), 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles, nfeat, pix), jnp.float32),
+        interpret=interpret,
+    )(*steps, slot_plane, fpack)
+    # untile (ntiles, F, PIX) -> (H, W, F)
+    feats = out.reshape(nty, ntx, nfeat, TILE_H, TILE_W)
+    return feats.transpose(0, 3, 1, 4, 2).reshape(
+        nty * TILE_H, ntx * TILE_W, nfeat)
+
+
 def _raster_call_binned(setup, depth_init, width, height, depth_test,
                         last_wins, interpret, less_equal=False,
-                        static_test=False):
+                        static_test=False, feat_table=None):
     hp, wp = depth_init.shape
     ntx, nty = wp // TILE_W, hp // TILE_H
     ntiles = ntx * nty
-    pack, steps, visited, _ = _bin_triangles(setup, ntx, nty)
+    pack, fpack, steps, visited, _ = _bin_triangles(setup, ntx, nty,
+                                                    feat=feat_table)
     nsteps = steps[0].shape[0]
     kernel = functools.partial(
         _raster_kernel_binned, width=float(width), height=float(height),
@@ -512,7 +613,7 @@ def _raster_call_binned(setup, depth_init, width, height, depth_test,
             pl.BlockSpec((TILE_H, TILE_W), tmap, memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((TILE_H, TILE_W), tmap,
-                                memory_space=pltpu.VMEM)] * 4,
+                                memory_space=pltpu.VMEM)] * 5,
     )
     out = pl.pallas_call(
         kernel,
@@ -522,6 +623,7 @@ def _raster_call_binned(setup, depth_init, width, height, depth_test,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),   # winner pack slot
         ],
         interpret=interpret,
     )(*steps, pack, depth_init)
@@ -530,15 +632,24 @@ def _raster_call_binned(setup, depth_init, width, height, depth_test,
                      TILE_W, 1)
     init_depth = (depth_init if depth_test and not static_test
                   else jnp.full_like(depth_init, jnp.inf))
+    feats = None
+    if fpack is not None:
+        feats = _shade_fetch_call(fpack, steps, out[4], ntx, nty,
+                                  interpret)
+        feats = jnp.where(vis[..., None], feats, 0.0)
     return [jnp.where(vis, out[0], init_depth),
             jnp.where(vis, out[1], -1),
             jnp.where(vis, out[2], 0.0),
-            jnp.where(vis, out[3], 0.0)]
+            jnp.where(vis, out[3], 0.0),
+            feats]
 
 
 def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
                  interpret, less_equal=False, static_test=False,
-                 n_tris=None):
+                 n_tris=None, feat_table=None):
+    """Returns [depth/key, winner id, λ0, λ1, feats] — ``feats`` is the
+    (H, W, F) per-pixel winner-feature plane when the binned path ran
+    with a ``feat_table``, else None (callers fetch features themselves)."""
     hp0, wp = depth_init.shape
     # tiles are TILE_H tall; pad framebuffer rows up (pad rows fail the
     # scissor test, outputs are sliced back)
@@ -551,9 +662,10 @@ def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
         out = _raster_call_binned(setup, depth_init, width, height,
                                   depth_test, last_wins, interpret,
                                   less_equal=less_equal,
-                                  static_test=static_test)
+                                  static_test=static_test,
+                                  feat_table=feat_table)
         if hp != hp0:
-            out = [o[:hp0] for o in out]
+            out = [o[:hp0] if o is not None else None for o in out]
         return out
     chunk = min(CHUNK, tpad)
     # single-chunk draws bound the fold loop by the real triangle count
@@ -590,16 +702,36 @@ def _raster_call(setup, depth_init, width, height, depth_test, last_wins,
     )(setup, depth_init)
     if hp != hp0:
         out = [o[:hp0] for o in out]
-    return out
+    return list(out) + [None]
 
 
 #: triangle counts up to this use the one-hot-matmul attribute fetch
 _ONEHOT_MAX_TRIS = 256
 
+#: binned scenes fetch winner features via the in-kernel one-hot matmul
+#: pipeline (payload-sorted feature pack + _shade_fetch_kernel); False
+#: (or RAYEATER_SHADE_FETCH=0) restores the per-pixel row gather — the
+#: A/B escape hatch
+_SHADE_FETCH = os.environ.get("RAYEATER_SHADE_FETCH", "1") != "0"
+
+
+def _feature_table(tri_vary: dict, inv_w, z_tri=None):
+    """ONE combined per-triangle feature table [inv_w (3) | z (3)? |
+    per-varying (3*K)...] — the layout :func:`_shade` fetches per pixel.
+    Shared by the in-shade fetch paths and the binned kernel's
+    payload-sort + one-hot fetch pipeline."""
+    num_tris = inv_w.shape[0]
+    cols = [inv_w]                                    # (T, 3)
+    if z_tri is not None:
+        cols.append(z_tri)                            # (T, 3)
+    for name in tri_vary:
+        cols.append(tri_vary[name].reshape(num_tris, -1))
+    return jnp.concatenate(cols, -1)                  # (T, F)
+
 
 def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
            tri_vary: dict, inv_w, resources,
-           z_tri=None) -> Framebuffer:
+           z_tri=None, feats=None) -> Framebuffer:
     """Deferred shading: perspective-correct varyings for winner triangles,
     run fragment_fn, merge into the framebuffer.
 
@@ -631,21 +763,17 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
     # one (P, F) row fetch beats a take per attribute by the attribute
     # count; image-shaped 2D indexing is another 1.55x slower — BENCHLOG
     # round 2 gather probes).
-    cols = [inv_w]                                    # (T, 3)
-    if z_tri is not None:
-        cols.append(z_tri)                            # (T, 3)
-    for name in names:
-        cols.append(tri_vary[name].reshape(num_tris, -1))
-    table = jnp.concatenate(cols, -1)                 # (T, F)
-    if num_tris <= _ONEHOT_MAX_TRIS:
-        onehot = (t.reshape(-1)[:, None]
-                  == jnp.arange(num_tris, dtype=gtri.dtype)[None, :]
-                  ).astype(jnp.float32)               # (P, T)
-        feats = jnp.matmul(onehot, table,
-                           preferred_element_type=jnp.float32)  # (P, F)
-    else:
-        feats = jnp.take(table, t.reshape(-1), axis=0)          # (P, F)
-    feats = feats.reshape(*hw, -1)                    # (H, W, F)
+    if feats is None:
+        table = _feature_table(tri_vary, inv_w, z_tri)        # (T, F)
+        if num_tris <= _ONEHOT_MAX_TRIS:
+            onehot = (t.reshape(-1)[:, None]
+                      == jnp.arange(num_tris, dtype=gtri.dtype)[None, :]
+                      ).astype(jnp.float32)           # (P, T)
+            feats = jnp.matmul(onehot, table,
+                               preferred_element_type=jnp.float32)
+        else:
+            feats = jnp.take(table, t.reshape(-1), axis=0)    # (P, F)
+        feats = feats.reshape(*hw, -1)                # (H, W, F)
     iw = feats[..., :3]
     offs = 3
     z_px = None
@@ -720,15 +848,20 @@ def render_mesh(pipe: GraphicsPipeline, mesh_: Mesh, uniforms: Any,
                    and depth_cmp is not CompareOp.ALWAYS)
     if static_test:
         last_wins = True
+    zt = z_tri if (last_wins and state.depth_write) else None
+    # binned scenes fetch winner features IN-KERNEL (payload-sorted pack
+    # + per-step one-hot MXU matmul) instead of the per-pixel row gather
+    feat_table = (_feature_table(tri_vary, inv_w, zt)
+                  if (_SHADE_FETCH and inv_w.shape[0] > _BIN_MIN_TRIS)
+                  else None)
     with jax.named_scope("raster.kernel"):
-        gdepth, gtri, gl0, gl1 = _raster_call(
+        gdepth, gtri, gl0, gl1, feats = _raster_call(
             setup, fb.depth, fb.width, fb.height,
             depth_test=state.depth_test, last_wins=last_wins,
             interpret=interpret,
             less_equal=depth_cmp is CompareOp.LESS_EQUAL,
-            static_test=static_test, n_tris=inv_w.shape[0])
+            static_test=static_test, n_tris=inv_w.shape[0],
+            feat_table=feat_table)
     with jax.named_scope("raster.shade"):
         return _shade(pipe, fb, gdepth, gtri, gl0, gl1, tri_vary,
-                      inv_w, resources,
-                      z_tri=z_tri if (last_wins and state.depth_write)
-                      else None)
+                      inv_w, resources, z_tri=zt, feats=feats)

@@ -88,7 +88,8 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              interpret: bool = False,
                              tile_w: int | None = None,
                              splat_exchange: str = "all_gather",
-                             ring_budget: int | None = None
+                             ring_budget: int | None = None,
+                             exact_seg: int = 4
                              ) -> jnp.ndarray:
     """Sharded GaussianCloud render → (height, width, 3) on the mesh.
     Feature parity with :func:`ray_eater_tpu.ops.gs.render_gaussians`:
@@ -161,7 +162,10 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         cap_pairs = n_rows * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
     if big_splat_cap is not None:
         cap_pairs += big_splat_cap * gs_ops._kx2(tile_w) * gs_ops.KY2
-    cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK)
+    # exact/direct mode streams exact_seg chunks per composite grid step
+    # (ops.gs.render_gaussians semantics); LOD layouts keep 1 chunk/step
+    nseg = exact_seg if max_splats_per_tile is None else 1
+    cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK * nseg)
     max_radius = (float(gs_ops.level2_max_radius(tile_w))
                   if big_splat_cap is not None else None)
 
@@ -237,12 +241,13 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                        is not None else None),
                                tail=tail_in, tile_w=tile_w,
                                records=(records if max_splats_per_tile
-                                        is None else None))
+                                        is None else None),
+                               nseg=nseg)
         # exact mode: payload-sort returned the packed array directly
         packed = (pack_idx if max_splats_per_tile is None
                   else gs_ops._pack_records(records, pack_idx))
         r_, g_, b_, t_, texec = gs_ops._composite_call(
-            packed, steps, nty_local, ntx, interpret, tile_w)
+            packed, steps, nty_local, ntx, interpret, tile_w, nseg=nseg)
         img = gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
                                      ntx, background, tail_slab=tail_slab,
                                      tile_w=tile_w)  # (band_px, Wp, 3)
@@ -519,16 +524,20 @@ def render_mesh_sharded(pipe, geo: GeoMesh, uniforms, resources,
                      or state.depth_compare.name == "ALWAYS")
         # per-band y scissor is unnecessary: rows past the global height
         # only exist in the last band and are cropped after the concat
-        gdepth, gtri, gl0, gl1 = raster_ops._raster_call(
+        zt = z_tri if (last_wins and state.depth_write) else None
+        feat_table = (raster_ops._feature_table(tri_vary, inv_w, zt)
+                      if (raster_ops._SHADE_FETCH
+                          and inv_w.shape[0] > raster_ops._BIN_MIN_TRIS)
+                      else None)
+        gdepth, gtri, gl0, gl1, feats = raster_ops._raster_call(
             setup, fb_local.depth, width, band_px,
             depth_test=state.depth_test, last_wins=last_wins,
             interpret=interpret,
             less_equal=state.depth_compare.name == "LESS_EQUAL",
-            n_tris=inv_w.shape[0])
+            n_tris=inv_w.shape[0], feat_table=feat_table)
         out_fb = raster_ops._shade(
             pipe, fb_local, gdepth, gtri, gl0, gl1, tri_vary,
-            inv_w, resources,
-            z_tri=z_tri if (last_wins and state.depth_write) else None)
+            inv_w, resources, z_tri=zt, feats=feats)
         return out_fb.color, out_fb.depth
 
     token = jnp.zeros((d,), jnp.float32)

@@ -217,6 +217,25 @@ def test_cap_stats_report_overflow():
     assert int(st1["overflow_pairs"]) > 0
 
 
+@pytest.mark.parametrize("payload", [True, False])
+def test_exact_seg_matches_single_chunk(payload):
+    # exact-mode multi-chunk composite steps (exact_seg > 1) must be
+    # BIT-identical to one-chunk-per-step: both re-check the saturation
+    # early-out at every 128-pair boundary, so the composited prefix is
+    # the same — only grid sequencing changes
+    view, proj = camera()
+    cloud = random_cloud(700, seed=12, extent=0.5,
+                         scale_range=(0.03, 0.1))
+    base = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                       payload_sort=payload,
+                                       exact_seg=1, interpret=True))
+    for seg in (2, 8):        # 8 = the exact-mode default
+        img = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                          payload_sort=payload,
+                                          exact_seg=seg, interpret=True))
+        np.testing.assert_array_equal(img, base), seg
+
+
 def test_ky_span_knob():
     # smaller vertical span = harder radius clamp, still finite + close
     view, proj = camera()
@@ -295,8 +314,12 @@ def test_lossless_certificate():
     # tiles (they never even become visited) — the certificate must be
     # withdrawn via the overflow counter, not fooled by the dry gate
     # (round-3 code-review finding: '& visited' masked kept=0 tiles)
+    # exact_seg=1: multi-chunk steps pad the positional cap up to a
+    # CHUNK*seg boundary, which on this small scene restores most of the
+    # dropped tail (the certificate stays conservatively False but the
+    # visible difference this asserts would vanish)
     img_c, st_c = render_gaussians(opaque, view, proj, W, H,
-                                   pairs_cap_factor=1,
+                                   pairs_cap_factor=1, exact_seg=1,
                                    return_stats=True, interpret=True)
     assert int(st_c["overflow_pairs"]) > 0
     assert not bool(st_c["lossless"])

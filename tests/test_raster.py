@@ -330,6 +330,41 @@ def test_large_scene_gather_fetch_matches_onehot():
     np.testing.assert_allclose(got_d[m2], want_d[m2], atol=1e-5)
 
 
+def test_shade_fetch_kernel_matches_gather():
+    # binned scenes fetch winner features via the payload-sorted pack +
+    # per-step one-hot MXU kernel (_shade_fetch_kernel); it must agree
+    # with the per-pixel row-gather path it replaces (raster.py _shade)
+    from ray_eater_tpu.ops import raster as raster_ops
+    m, uni, pipe = _grid_scene()
+    assert 2 * m.num_triangles > raster_ops._BIN_MIN_TRIS
+    assert raster_ops._SHADE_FETCH
+    got_c, got_d = run_render(pipe, m, uni)            # kernel fetch
+
+    raster_ops._SHADE_FETCH = False
+    try:
+        want_c, want_d = run_render(pipe, m, uni)      # row gather
+    finally:
+        raster_ops._SHADE_FETCH = True
+    np.testing.assert_allclose(got_c, want_c, atol=2e-5)
+    mk = np.isfinite(want_d)
+    np.testing.assert_allclose(got_d[mk], want_d[mk], atol=1e-5)
+
+
+def test_render_at_tile_divisible_height():
+    # a framebuffer whose height is already a TILE_H multiple takes the
+    # no-repad branch of _raster_call (regression: the dense path
+    # returned a tuple there and `tuple + [None]` raised)
+    from ray_eater_tpu.ops.raster import TILE_H, TILE_W
+    mesh = re.two_planes()
+    uni = sample_uniforms()
+    pipe = GraphicsPipeline(vertex_fn=re.shaders.mvp_vertex,
+                            fragment_fn=flat_color_fragment)
+    fb = re.create_framebuffer(TILE_W, 2 * TILE_H)
+    out = render_mesh(pipe, mesh, uni, {}, fb, interpret=True)
+    assert out.color.shape == (2 * TILE_H, TILE_W, 4)
+    assert np.isfinite(np.asarray(out.color)).all()
+
+
 def test_binned_raster_matches_dense():
     # >512 post-clip triangles route through GS-style tile binning; the
     # binned kernel must reproduce the dense fold exactly (same fold
