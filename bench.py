@@ -80,7 +80,10 @@ def main():
     # prints the fidelity of whatever config runs. Per-scene defaults
     # from the round-3 ladder (BENCHLOG): fog 176 (71.6 FPS @ min
     # 37.2 dB), shell 640 (32.5 FPS @ min 42.1 dB); 384 elsewhere.
-    mpt_default = {"fog": 176, "shell": 640}.get(scene, 384)
+    # inria 512: the round-3 ladder (384: 27.5 FPS @ 26.1 dB, 512: 23.7
+    # @ 29.2, 768: 20.6 @ 29.4) — quality saturates ~29-30 dB past 512,
+    # so 512 is the knee
+    mpt_default = {"fog": 176, "shell": 640, "inria": 512}.get(scene, 384)
     mpt = int(os.environ.get("RAYEATER_BENCH_MPT", mpt_default)) or None
     # composite tile width (footprint-tight compositing knob): narrower
     # tiles make per-pair cost track splat footprint instead of tile

@@ -79,23 +79,39 @@ def main():
         return fb
 
     def loop(texture):
+        # the PSNR/eyeball frame (t=0.35) rides the timed window's carry:
+        # ONE compiled program per config (cold relay compiles are the
+        # session bottleneck, 30+ min each for 10k-tri frame programs)
         def run(t0):
+            img0 = jnp.zeros((H, W, 4), jnp.float32)
+
             def it(i, carry):
-                fb = frame(carry + jnp.float32(i) * (1.0 / 60.0), texture)
-                return carry + fb.color[0, 0, 0] * 1e-12
-            return lax.fori_loop(0, ITERS, it, t0)
+                acc, _ = carry
+                fb = frame(acc + jnp.float32(i) * (1.0 / 60.0), texture)
+                return acc + fb.color[0, 0, 0] * 1e-12, fb.color
+
+            acc, _ = lax.fori_loop(0, ITERS, it, (t0, img0))
+            fb = frame(jnp.float32(0.35), texture)
+            return acc, fb.color
         return run
 
     def timeit(name, fn, *args):
         f = jax.jit(fn)
-        float(np.asarray(f(*args)))          # fetch: compile + first run
+        t0 = time.perf_counter()
+        acc, img = f(*args)
+        img = np.asarray(img)                # fetch (relay-blind hazard)
+        print(f"{name:56s} compile+first {time.perf_counter() - t0:.0f}s",
+              flush=True)
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            float(np.asarray(f(*args)))
+            acc, im = f(*args)
+            # FETCH the scalar (forces completion; relay-blind hazard)
+            # but leave the 33 MB frame device-resident
+            float(np.asarray(acc))
             best = min(best, (time.perf_counter() - t0) / ITERS * 1000)
         print(f"{name:56s} {best:8.2f} ms/iter", flush=True)
-        return best
+        return best, img
 
     results = {}
     imgs = {}
@@ -109,10 +125,8 @@ def main():
         raster_ops._SHADE_FETCH = sf
         os.environ["RAYEATER_SUBTILE"] = sub
         try:
-            results[name] = timeit(name, loop(texture), np.float32(0))
-            imgs[name] = np.asarray(jax.jit(
-                lambda t, texture=texture: frame(t, texture).color)(
-                    np.float32(0.35)))
+            results[name], imgs[name] = timeit(name, loop(texture),
+                                               np.float32(0))
         finally:
             raster_ops._SHADE_FETCH = True
             os.environ["RAYEATER_SUBTILE"] = "1"
