@@ -49,11 +49,20 @@ def main():
     interpret = ctx.interpret
     log(f"bench: {scene} {n} splats {W}x{H} x{frames} frames on {ctx.device}")
 
-    # two-level binning budget for large splats (the inria scene's
-    # log-normal size tail needs it; harmless elsewhere). 0 disables.
-    big_cap_default = {"inria": n // 16}.get(scene, 0)
+    # three-level binning budgets for large splats (the inria scene's
+    # log-normal size tail needs them; harmless elsewhere). 0 disables.
+    # Sizing from the tools/exp_inria.py census of this flythrough:
+    # ~192k splats/view over the 15 px level-1 ceiling, of which ~168k
+    # fit the 47 px mid fan (16 slots) and ~24k need the 64-slot coarse
+    # fan — the round-2 coarse-only n//16 budget dropped 129k of them
+    # whole (52% of footprint mass: the 29 dB quality floor).
+    big_cap_default = {"inria": n // 32}.get(scene, 0)
+    mid_cap_default = {"inria": n // 5}.get(scene, 0)
     big_cap = int(os.environ.get("RAYEATER_BENCH_BIGCAP",
                                  big_cap_default)) or None
+    mid_cap = (int(os.environ.get("RAYEATER_BENCH_MIDCAP",
+                                  mid_cap_default)) or None) \
+        if big_cap else None
 
     if scene == "shell":
         cloud = shell_cloud(n, seed=1)
@@ -121,6 +130,7 @@ def main():
                                 pairs_cap_factor=capf,
                                 max_splats_per_tile=mpt,
                                 big_splat_cap=big_cap,
+                                mid_splat_cap=mid_cap,
                                 corner_cap=corner_cap,
                                 lod_budget=budget,
                                 return_stats=True,
@@ -183,6 +193,7 @@ def main():
                                     payload_sort=payload,
                                     pairs_cap_factor=None,
                                     big_splat_cap=big_cap,
+                                    mid_splat_cap=mid_cap,
                                     corner_cap=corner_cap,
                                     interpret=interpret,
                                     tile_w=tile_w)
@@ -194,7 +205,8 @@ def main():
         def warmed_frame(c, t):
             if not temporal:
                 img, stats = one_frame(c, t, None)
-                return img, stats["overflow_pairs"], stats["lossless"]
+                return (img, stats["overflow_pairs"], stats["lossless"],
+                        stats["overflow_big_splats"])
             def body(i, budget):
                 _, stats = one_frame(
                     c, t - (warm - i).astype(jnp.float32) / 60.0, budget)
@@ -203,23 +215,32 @@ def main():
                                          stats.get("tile_count"))
             b = lax.fori_loop(0, warm, body, budget0)
             img, stats = one_frame(c, t, b)
-            return img, stats["overflow_pairs"], stats["lossless"]
+            return (img, stats["overflow_pairs"], stats["lossless"],
+                    stats["overflow_big_splats"])
 
         nsamp = int(os.environ.get("RAYEATER_BENCH_PSNR_FRAMES", 6))
-        psnrs, drops, certs = [], [], []
+        psnrs, drops, certs, bigdrops = [], [], [], []
         for k in range(nsamp):
             ts = np.float32((frames - 1) * k / (nsamp - 1) / 60.0)
-            a, ov, cert = warmed_frame(cloud, ts)
+            a, ov, cert, ovb = warmed_frame(cloud, ts)
             b = exact_fn(cloud, ts)
             mse = float(jnp.mean((a - b) ** 2))
             psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
             drops.append(int(ov))
             certs.append(bool(cert))
+            bigdrops.append(int(ovb))
         log("LOD quality vs exact: min %.1f dB over %d sampled frames %s"
             % (min(psnrs), nsamp,
                "[" + " ".join(f"{p:.1f}" for p in psnrs) + "]"))
         log("LOD pairs dropped per sampled frame: %s" % drops)
         log("saturation-certified lossless frames: %s" % certs)
+        if big_cap:
+            # budget-channel ALARM: the PSNR gate's exact reference
+            # shares the big/mid caps, so whole-splat budget overflow is
+            # INVISIBLE to it (the corner-channel lesson, BENCHLOG
+            # 2026-08-17) — any nonzero count here means raise the caps
+            log("big/mid-splat budget overflow per sampled frame "
+                "(MUST be 0 — invisible to the PSNR gate): %s" % bigdrops)
 
 
     # best of three measurement windows: throughput through the device

@@ -275,3 +275,48 @@ def make_train_step_adc(optimizer, width: int, height: int,
         return params, opt_state, dstate, loss
 
     return step
+
+
+def make_train_window_adc(optimizer, width: int, height: int,
+                          background=(0.0, 0.0, 0.0),
+                          use_pallas: bool = False,
+                          max_splats_per_tile: int = 256,
+                          interpret: bool = False,
+                          nsteps: int = 100):
+    """DEVICE-RESIDENT ADC training window: ``nsteps`` consecutive train
+    steps in ONE dispatch, cycling the stacked training views.
+
+    Host-looped per-step training pays the fixed ~28 ms tunnel round
+    trip EVERY step (BENCHLOG round 2: an empty 1-iteration device loop
+    costs the same as an empty 1000-iteration one), which capped ADC
+    training at ~3.3 steps/s at the 960x540/262k-capacity config while
+    the step compute was ~0.3 s... for the WHOLE 100-step window. The
+    densify/prune/reset events between windows stay host-side (they
+    need a live-quantile threshold), which costs one dispatch per
+    ``densify_every`` steps instead of one per step.
+
+    Returns ``window(params, opt_state, dstate, targets (V,H,W,3),
+    views (V,4,4), proj, i0) -> (params, opt_state, dstate, loss)``
+    where ``i0`` is the global step index of the window's first step
+    (view k = (i0+i) % V matches the host loop's schedule) and ``loss``
+    is the final step's."""
+    inner = make_train_step_adc(optimizer, width, height, background,
+                                use_pallas, max_splats_per_tile,
+                                interpret)
+
+    @jax.jit
+    def window(params, opt_state, dstate, targets, views, proj, i0):
+        nviews = targets.shape[0]
+
+        def body(i, carry):
+            params, opt_state, dstate, _ = carry
+            k = (i0 + i) % nviews
+            t = jax.lax.dynamic_index_in_dim(targets, k, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(views, k, keepdims=False)
+            return inner(params, opt_state, dstate, t, v, proj)
+
+        return jax.lax.fori_loop(
+            0, nsteps, body,
+            (params, opt_state, dstate, jnp.float32(0.0)))
+
+    return window

@@ -115,6 +115,27 @@ def level2_max_radius(tile_w: int = TILE_W) -> int:
                (_kx2(tile_w) - 1) * tile_w // 2 - 1)
 
 
+#: mid (level-1.5) fan vertical span: 4 tiles → 47 px radius ceiling.
+#: Trained-scene radius histograms are log-normal (tools/exp_inria.py:
+#: of ~192k splats over the 15 px level-1 ceiling, ~168k are <= 47 px),
+#: so routing them through the 64-slot KX2×KY2 fan wastes 4x pairs —
+#: the 16-slot mid fan carries the bulk and the coarse fan only the
+#: ~24k true giants.
+KY_M = 4
+
+
+def _kxm(tile_w: int) -> int:
+    """Horizontal slot count of the mid fan (KY_M-bounded ceiling)."""
+    rmv = (KY_M - 1) * TILE_H // 2 - 1
+    return -(-2 * (rmv + 1) // tile_w) + 1
+
+
+def level_mid_max_radius(tile_w: int = TILE_W) -> int:
+    """Radius ceiling of the mid _kxm×KY_M fan (three-level binning)."""
+    return min((KY_M - 1) * TILE_H // 2 - 1,
+               (_kxm(tile_w) - 1) * tile_w // 2 - 1)
+
+
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """(N,4) wxyz quaternions → (N,3,3) rotation matrices."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
@@ -498,6 +519,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
                 max_per_tile: int | None = None,
                 big_cap: int | None = None,
+                mid_cap: int | None = None,
                 corner_cap: int | None = None,
                 budget=None, tail=None, tile_w: int = TILE_W,
                 records=None, nseg: int = 1):
@@ -637,35 +659,48 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                                    jnp.take(tail[1], ccidx, axis=0),
                                    np_c, TILE_H * tile_w)
             auxs.append(jnp.tile(aux_c, len(ckeys)))
+    overflow_big = jnp.zeros((), jnp.int32)
     if big_cap is not None:
-        # level-2 (coarse) fan: the budgeted LARGE-splat subset. Their
-        # indices compact via cumsum + searchsorted (scatter-free), their
-        # binning columns ride one small row gather, and their KX2×KY2
-        # candidate keys join the same single sort.
-        big = valid & (r > r1)
-        csum = jnp.cumsum(big.astype(jnp.int32))
-        nbig = csum[-1]
-        overflow_big = jnp.maximum(nbig - big_cap, 0)
-        slot = jnp.arange(big_cap, dtype=jnp.int32)
-        bidx = jnp.clip(jnp.searchsorted(csum, slot + 1, side="left"),
-                        0, n - 1).astype(jnp.int32)
+        # budgeted coarse fans for LARGE splats. Channel indices compact
+        # via cumsum + searchsorted (scatter-free), their binning columns
+        # ride one small row gather, and their fan keys join the same
+        # single sort. With ``mid_cap`` the big subset splits THREE ways
+        # by radius (level-1 <= r1 < mid <= rm < coarse): trained scenes'
+        # log-normal radius tails put ~85% of over-r1 splats under the
+        # 47 px mid ceiling, where the 16-slot fan costs 4x fewer sort
+        # slots than the 64-slot coarse fan (tools/exp_inria.py — the
+        # round-3 inria 29 dB floor was 129k of 192k big splats dropped
+        # whole by a coarse-only n/16 budget).
         side = jnp.stack([mx, my, r, qd.astype(jnp.float32)], -1)
-        bs = jnp.take(side, bidx, axis=0)               # (big_cap, 4)
-        bvalid = slot < nbig
-        bkeys = _emit_fan(bs[:, 0], bs[:, 1], bs[:, 2], bvalid,
-                          bs[:, 3].astype(jnp.int32), _kx2(tile_w), KY2,
-                          ntx, nty, db, tile_w)
-        keys += bkeys
-        ids.append(jnp.tile(bidx, len(bkeys)))
-        pay_src.append((bidx, len(bkeys)))
-        if tail is not None:
-            np_big = sum((k != sent1).astype(jnp.int32) for k in bkeys)
-            aux_big = _pack_tail_aux(jnp.take(tail[0], bidx),
-                                     jnp.take(tail[1], bidx, axis=0),
-                                     np_big, TILE_H * tile_w)
-            auxs.append(jnp.tile(aux_big, len(bkeys)))
-    else:
-        overflow_big = jnp.zeros((), jnp.int32)
+        rm = float(level_mid_max_radius(tile_w))
+        if mid_cap is not None:
+            channels = [(valid & (r > r1) & (r <= rm), mid_cap,
+                         _kxm(tile_w), KY_M),
+                        (valid & (r > rm), big_cap, _kx2(tile_w), KY2)]
+        else:
+            channels = [(valid & (r > r1), big_cap, _kx2(tile_w), KY2)]
+        for ch_mask, ch_cap, ch_kx, ch_ky in channels:
+            csum = jnp.cumsum(ch_mask.astype(jnp.int32))
+            nbig = csum[-1]
+            overflow_big = overflow_big + jnp.maximum(nbig - ch_cap, 0)
+            slot = jnp.arange(ch_cap, dtype=jnp.int32)
+            bidx = jnp.clip(jnp.searchsorted(csum, slot + 1, side="left"),
+                            0, n - 1).astype(jnp.int32)
+            bs = jnp.take(side, bidx, axis=0)           # (ch_cap, 4)
+            bvalid = slot < nbig
+            bkeys = _emit_fan(bs[:, 0], bs[:, 1], bs[:, 2], bvalid,
+                              bs[:, 3].astype(jnp.int32), ch_kx, ch_ky,
+                              ntx, nty, db, tile_w)
+            keys += bkeys
+            ids.append(jnp.tile(bidx, len(bkeys)))
+            pay_src.append((bidx, len(bkeys)))
+            if tail is not None:
+                np_big = sum((k != sent1).astype(jnp.int32)
+                             for k in bkeys)
+                aux_big = _pack_tail_aux(jnp.take(tail[0], bidx),
+                                         jnp.take(tail[1], bidx, axis=0),
+                                         np_big, TILE_H * tile_w)
+                auxs.append(jnp.tile(aux_big, len(bkeys)))
     # concatenated stream order (contiguous blocks), NOT interleaved:
     # the unstable sort doesn't care, and the block layout fuses into the
     # sort input without a strided transpose (~3 ms at 4M pairs,
@@ -1512,6 +1547,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      ky: int = KY,
                      max_splats_per_tile: int | None = None,
                      big_splat_cap: int | None = None,
+                     mid_splat_cap: int | None = None,
                      corner_cap: int | None = None,
                      lod_budget=None,
                      lod_tail: bool = False,
@@ -1557,8 +1593,19 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     ``level2_max_radius()`` (111 px) — instead of being radius-clamped.
     The value is the static per-frame budget of such large splats
     (overflowing ones are dropped entirely and reported via
-    ``overflow_big_splats``); N//16 is a good default for INRIA-style
-    scenes where large splats are a near-camera tail.
+    ``overflow_big_splats``).
+
+    ``mid_splat_cap`` (with ``big_splat_cap``) adds a THIRD fan level:
+    splats in (level1, level_mid_max_radius()] = (15, 47] px route
+    through a 16-slot _kxm×KY_M fan under this budget, and only true
+    giants (>47 px) pay the 64-slot coarse fan. Trained-scene radius
+    tails are log-normal — ~85% of over-15 px splats fit under 47 px
+    (tools/exp_inria.py) — so for INRIA-like scenes size
+    ``mid_splat_cap≈N//5`` and ``big_splat_cap≈N//32``: 4x cheaper in
+    sort slots than a coarse-only budget covering the same splats, and
+    a coarse-only N//16 budget silently dropped 52% of the footprint
+    mass (the round-3 inria 29 dB floor — invisible to a PSNR gate
+    whose reference shared the cap).
 
     ``lod_tail`` (default OFF, active only with ``max_splats_per_tile``):
     composite the pairs the LOD DROPS as a per-tile homogeneous slab
@@ -1632,6 +1679,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         exact_cap = n * KX * ky + ntiles * CHUNK
     if big_splat_cap is not None:
         exact_cap += big_splat_cap * _kx2(tile_w) * KY2
+        if mid_splat_cap is not None:
+            exact_cap += mid_splat_cap * _kxm(tile_w) * KY_M
     if pairs_cap_factor is None:
         cap_pairs = exact_cap
     else:
@@ -1657,7 +1706,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                 ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
                 jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs,
                 ky=ky, max_per_tile=max_splats_per_tile,
-                big_cap=big_splat_cap, corner_cap=corner_cap,
+                big_cap=big_splat_cap, mid_cap=mid_splat_cap,
+                corner_cap=corner_cap,
                 budget=lod_budget, tail=tail_in,
                 tile_w=tile_w,
                 records=(records if payload_sort

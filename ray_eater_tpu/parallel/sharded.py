@@ -81,6 +81,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              cam_pos=None, ky: int | None = None,
                              max_splats_per_tile: int | None = None,
                              big_splat_cap: int | None = None,
+                             mid_splat_cap: int | None = None,
                              corner_cap: int | None = None,
                              lod_budget=None,
                              lod_tail: bool = False,
@@ -162,6 +163,8 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         cap_pairs = n_rows * gs_ops.KX * ky + nty_local * ntx * gs_ops.CHUNK
     if big_splat_cap is not None:
         cap_pairs += big_splat_cap * gs_ops._kx2(tile_w) * gs_ops.KY2
+        if mid_splat_cap is not None:
+            cap_pairs += mid_splat_cap * gs_ops._kxm(tile_w) * gs_ops.KY_M
     # exact/direct mode streams exact_seg chunks per composite grid step
     # (ops.gs.render_gaussians semantics); LOD layouts keep 1 chunk/step
     nseg = exact_seg if max_splats_per_tile is None else 1
@@ -236,6 +239,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                ntx, nty_local, cap_pairs, ky=ky,
                                max_per_tile=max_splats_per_tile,
                                big_cap=big_splat_cap,
+                               mid_cap=mid_splat_cap,
                                corner_cap=corner_cap,
                                budget=(budget_local if lod_budget
                                        is not None else None),

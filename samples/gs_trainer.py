@@ -46,7 +46,7 @@ def train_adc(args):
 
     from ray_eater_tpu.models.gs_densify import (densify_and_prune,
                                                  init_densify_state,
-                                                 make_train_step_adc,
+                                                 make_train_window_adc,
                                                  pad_params,
                                                  reset_new_slots,
                                                  reset_opacity)
@@ -87,21 +87,37 @@ def train_adc(args):
     dstate = init_densify_state(cap, n0)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
-    step = make_train_step_adc(opt, W, H, use_pallas=use_pallas,
-                               interpret=ctx.interpret)
+    # DEVICE-RESIDENT windows of densify_every steps: one dispatch per
+    # densify event instead of one per step (the fixed ~28 ms tunnel
+    # round-trip capped host-looped ADC at ~3.3 steps/s — BENCHLOG)
+    window = make_train_window_adc(opt, W, H, use_pallas=use_pallas,
+                                   interpret=ctx.interpret,
+                                   nsteps=args.densify_every)
+    windows = {args.densify_every: window}
+    targets_s = jnp.stack(targets)
+    views_s = jnp.stack(views)
     key = jax.random.PRNGKey(0)
 
+    last_densify = args.steps - 2 * args.densify_every
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        k = i % args.views
-        params, opt_state, dstate, loss = step(
-            params, opt_state, dstate, targets[k], views[k], proj)
-        if i == 0:
+    timed_from = 0
+    pos = 0
+    while pos < args.steps:
+        nwin = min(args.densify_every, args.steps - pos)
+        if nwin not in windows:        # remainder window (one extra jit)
+            windows[nwin] = make_train_window_adc(
+                opt, W, H, use_pallas=use_pallas,
+                interpret=ctx.interpret, nsteps=nwin)
+        params, opt_state, dstate, loss = windows[nwin](
+            params, opt_state, dstate, targets_s, views_s, proj,
+            jnp.int32(pos))
+        if pos == 0:
             jax.block_until_ready(loss)
-            log.info("compiled adc train step on %s (capacity %d)",
-                     ctx.device, cap)
-            t0 = time.perf_counter()
-        last_densify = args.steps - 2 * args.densify_every
+            log.info("compiled %d-step adc window on %s (capacity %d)",
+                     nwin, ctx.device, cap)
+            t0, timed_from = time.perf_counter(), nwin
+        pos += nwin
+        i = pos - 1                    # last executed global step
         if (i % args.densify_every == args.densify_every - 1
                 and i < last_densify):
             # threshold = a live-quantile of the mean view-space gradient
@@ -121,7 +137,7 @@ def train_adc(args):
                      "-> %d live; loss %.6f", i, int(st["n_clone"]),
                      int(st["n_split"]), int(st["n_prune"]),
                      int(st["n_live"]), float(loss))
-        if i and i % 1500 == 1499 and i < last_densify:
+        if pos % 1500 == 0 and i < last_densify:
             params = reset_opacity(params, dstate)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0

@@ -409,6 +409,46 @@ def test_big_splat_two_level_matches_reference():
     assert np.abs(clamped - want).max() > 0.02
 
 
+def test_mid_splat_three_level_matches_reference():
+    # THREE-level binning (mid_splat_cap): splats in (15, 47] px route
+    # through the 16-slot mid fan, >47 px through the 64-slot coarse fan
+    # — pure routing change, so the render must still match the float64
+    # oracle at the level-2 radius ceiling (and exercise BOTH channels)
+    view, proj = camera()
+    rng = np.random.RandomState(3)
+    n = 40
+    means = (rng.rand(n, 3).astype(np.float32) - 0.5) * 1.2
+    scales = np.full((n, 3), 0.02, np.float32)
+    scales[:6] = 0.25           # mid-sized: radius 15..47 px
+    scales[6:12] = 0.75         # giants: radius > 47 px (coarse channel)
+    cloud = gaussian_cloud(means, scales, [[1, 0, 0, 0]] * n,
+                           [0.6] * n, rng.rand(n, 3).astype(np.float32))
+    bg = (0.05, 0.05, 0.1)
+    got = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
+                                      big_splat_cap=16, mid_splat_cap=16,
+                                      interpret=True))
+    ps = gs._project_fast(cloud.means, cloud.scales, cloud.quats,
+                          cloud.opacities, cloud.colors, view, proj, W, H,
+                          max_radius=gs.level2_max_radius(),
+                          interpret=True)
+    r = np.asarray(ps.radius)[np.isfinite(np.asarray(ps.depth))]
+    r1, rm = gs.level1_max_radius(), gs.level_mid_max_radius()
+    assert ((r > r1) & (r <= rm)).sum() > 0, "no mid-channel splat"
+    assert (r > rm).sum() > 0, "no coarse-channel splat"
+    want, sens = reference_composite(ps, W, H, bg, two_level=True,
+                                     return_sensitive=True)
+    err = np.abs(got - want).max(axis=-1)
+    assert sens.mean() < 0.01, "scene too knife-edgy to be a golden test"
+    assert err[~sens].max() < 2e-3, f"max err {err[~sens].max()}"
+    assert err.max() < 0.05
+    # mid-channel overflow is counted in overflow_big_splats: a 1-splat
+    # mid budget with several mid-sized splats must trip the alarm
+    _, stats = render_gaussians(cloud, view, proj, W, H, bg,
+                                big_splat_cap=16, mid_splat_cap=1,
+                                return_stats=True, interpret=True)
+    assert int(stats["overflow_big_splats"]) > 0
+
+
 def test_big_splat_cap_overflow_reported():
     view, proj = camera()
     n = 24
