@@ -49,28 +49,35 @@ def main():
     interpret = ctx.interpret
     log(f"bench: {scene} {n} splats {W}x{H} x{frames} frames on {ctx.device}")
 
-    # three-level binning budgets for large splats (the inria scene's
-    # log-normal size tail needs them; harmless elsewhere). 0 disables.
-    # Sizing from the tools/exp_inria.py census of this flythrough:
-    # ~192k splats/view over the 15 px level-1 ceiling, of which ~168k
-    # fit the 47 px mid fan (16 slots) and ~24k need the 64-slot coarse
-    # fan — the round-2 coarse-only n//16 budget dropped 129k of them
-    # whole (52% of footprint mass: the 29 dB quality floor).
-    big_cap_default = {"inria": n // 32}.get(scene, 0)
-    mid_cap_default = {"inria": n // 5}.get(scene, 0)
+    if scene == "shell":
+        cloud = shell_cloud(n, seed=1)
+    elif scene == "inria":
+        cloud = inria_cloud(n, seed=1)
+    elif scene == "trained":
+        # training→rendering closed loop: flythrough-render a cloud
+        # reconstructed by samples/gs_trainer.py --adc --save-ply
+        from ray_eater_tpu.models.gaussians import load_ply
+        cloud = load_ply(os.environ["RAYEATER_BENCH_PLY"])
+        n = cloud.num_splats
+    else:
+        cloud = random_cloud(n, seed=1, extent=1.0,
+                             scale_range=(0.004, 0.02))
+
+    # three-level binning budgets for large splats (the log-normal size
+    # tail of inria-style / densify-trained clouds needs them; harmless
+    # elsewhere). 0 disables. Sizing from the tools/exp_inria.py census
+    # of this flythrough: ~192k splats/view over the 15 px level-1
+    # ceiling, of which ~168k fit the 47 px mid fan (16 slots) and ~24k
+    # need the 64-slot coarse fan — the round-2 coarse-only n//16 budget
+    # dropped 129k of them whole (52% of footprint mass: the 29 dB
+    # quality floor).
+    big_cap_default = {"inria": n // 32, "trained": n // 16}.get(scene, 0)
+    mid_cap_default = {"inria": n // 5, "trained": n // 4}.get(scene, 0)
     big_cap = int(os.environ.get("RAYEATER_BENCH_BIGCAP",
                                  big_cap_default)) or None
     mid_cap = (int(os.environ.get("RAYEATER_BENCH_MIDCAP",
                                   mid_cap_default)) or None) \
         if big_cap else None
-
-    if scene == "shell":
-        cloud = shell_cloud(n, seed=1)
-    elif scene == "inria":
-        cloud = inria_cloud(n, seed=1)
-    else:
-        cloud = random_cloud(n, seed=1, extent=1.0,
-                             scale_range=(0.004, 0.02))
 
     # camera math lives INSIDE the jitted frame: eager rmath calls are each
     # a tiny device dispatch — through this tunnel that costs ~100 ms/frame.
@@ -93,6 +100,16 @@ def main():
     # @ 29.2, 768: 20.6 @ 29.4) — quality saturates ~29-30 dB past 512,
     # so 512 is the knee
     mpt_default = {"fog": 176, "shell": 640, "inria": 512}.get(scene, 384)
+    # CERTIFIED mode: per-scene pool sized at the measured saturation
+    # need (the "LOD is lossless when budgets pass saturation" insight,
+    # BENCHLOG 2026-08-17) — the recorded exact answer at production
+    # speed instead of the wasteful worst-case sizing (VERDICT round-3
+    # task 5). The PSNR gate below prints the per-frame lossless
+    # certificates; a certified run must show all-True (or min >= 50 dB).
+    certified = os.environ.get("RAYEATER_BENCH_CERTIFIED", "0") != "0"
+    if certified:
+        mpt_default = {"fog": 384, "shell": 704, "inria": 768}.get(
+            scene, 512)
     mpt = int(os.environ.get("RAYEATER_BENCH_MPT", mpt_default)) or None
     # composite tile width (footprint-tight compositing knob): narrower
     # tiles make per-pair cost track splat footprint instead of tile
@@ -170,6 +187,12 @@ def main():
             if mpt else "buffer overflow (0 == exact)")
     log(f"compile+first frame: {time.perf_counter() - t0:.1f}s; "
         f"overflow_pairs={int(stats['overflow_pairs'])} = {note}")
+    if big_cap:
+        # whole-splat budget ALARM independent of the PSNR-gate block: an
+        # exact-mode run (MPT=0) with caps set must still surface budget
+        # drops — the exact blind spot the alarm targets (ADVICE round 3)
+        log("first-frame big/mid-splat budget overflow (MUST be 0): "
+            f"{int(stats['overflow_big_splats'])}")
 
     _, bconv = jax.block_until_ready(window_fn(cloud, np.float32(0.0),
                                                budget0))

@@ -41,7 +41,7 @@ def textured_border_fragment(varyings, resources):
     upper = 1.0 - lw
     u, v = uv[..., 0], uv[..., 1]
     border = (u <= lw) | (u > upper) | (v <= lw) | (v > upper)
-    texel = sample(tex, uv)
+    texel = sample(tex, uv, valid=varyings.get("_coverage"))
     shaded = texel * jnp.concatenate(
         [color, jnp.ones((*color.shape[:-1], 1), jnp.float32)], -1)
     return jnp.where(border[..., None], jnp.float32(1.0), shaded)
@@ -58,4 +58,5 @@ def passthrough_vertex(positions, attrs, uniforms):
 
 def quad_sample_fragment(varyings, resources):
     """compute_drawing frag.glsl:19 — sample the compute-written image."""
-    return sample(resources["compute_image"], varyings["uv"])
+    return sample(resources["compute_image"], varyings["uv"],
+                  valid=varyings.get("_coverage"))

@@ -75,6 +75,11 @@ KX2 = 3
 #: pool allocation below makes a high ceiling safe: greedy tiles can
 #: only consume the pool's surplus, never a tile's baseline share.
 LOD_DESIRE_CAP = 32
+#: dry-tile FLOOR-channel jump ceiling (in units of max_splats_per_tile):
+#: see update_lod_budget — large enough to recover a starved tile in one
+#: frame, small enough that an all-dry scene stays ≈ the balanced static
+#: allocation
+_DRY_FLOOR_CAP = 4
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
@@ -154,9 +159,12 @@ class ProjectedSplats(NamedTuple):
     mean2d: jnp.ndarray    # (N, 2) screen px
     conic: jnp.ndarray     # (N, 3) inverse-covariance (a, b, c)
     depth: jnp.ndarray     # (N,) view depth (+inf if culled)
-    radius: jnp.ndarray    # (N,) int32 extent in px
+    radius: jnp.ndarray    # (N,) int32 circumscribed extent in px
     color: jnp.ndarray     # (N, 3)
     opacity: jnp.ndarray   # (N,)
+    ext: jnp.ndarray | None = None   # (N, 2) int32 per-axis bbox extents
+    #                        (rx, ry) ≤ radius — see _project_math; None
+    #                        degrades binning to the isotropic footprint
 
 
 def project_gaussians(means, scales, quats, opacities, colors,
@@ -180,12 +188,13 @@ def project_gaussians(means, scales, quats, opacities, colors,
                             float(max_radius))
     cov = _cov3d_math(scales[:, 0], scales[:, 1], scales[:, 2],
                       quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3])
-    mx, my, ca, cb, cc, depth, radius, _ = _project_math(
+    mx, my, ca, cb, cc, depth, radius, rx, ry = _project_math(
         means[:, 0], means[:, 1], means[:, 2], *cov, opacities, scal)
     return ProjectedSplats(
         mean2d=jnp.stack([mx, my], -1),
         conic=jnp.stack([ca, cb, cc], -1), depth=depth,
-        radius=radius.astype(jnp.int32), color=colors, opacity=opacities)
+        radius=radius.astype(jnp.int32), color=colors, opacity=opacities,
+        ext=jnp.stack([rx, ry], -1).astype(jnp.int32))
 
 
 def _project_scalars(view, proj, width, height, near, max_radius):
@@ -239,7 +248,21 @@ def _project_math(px_, py_, pz_, s00, s01, s02, s11, s12, s22, op, scal):
     runs on lane-starved shapes; the expansion is pure VPU.
 
     Returns (mx, my, conic_a, conic_b, conic_c, depth(+inf culled),
-    radius_f32, opacity_eff)."""
+    radius_f32, rx_f32, ry_f32).
+
+    ``radius`` is the CIRCUMSCRIBED extent (λ_max eigenvalue), ``rx``/
+    ``ry`` the tight per-axis bbox extents of the same contour ellipse
+    (extent_x of {d: dᵀΣ⁻¹d ≤ s²} is s·√Σxx — exact, not an eigenvalue
+    bound). All three use the OPACITY-AWARE cutoff multiplier
+    s = min(3, √(2·ln(op/_ALPHA_MIN))) instead of the blanket 3σ: the
+    composite kernel zeroes per-pixel alpha < _ALPHA_MIN (the 3DGS
+    convention, _composite_chunk), so every tile beyond the α=_ALPHA_MIN
+    contour contributes EXACTLY zero — emitting it is pure waste. The
+    shrink is therefore bit-exact w.r.t. the kernel while cutting real
+    pair counts (composite bodies + LOD budget consumption) on
+    faint-splat-heavy trained scenes (inria floaters: op~0.1 → s≈2.5,
+    -30% footprint area; anisotropic shell disks: bbox ≤ half the
+    circumscribed square)."""
     v = scal if callable(scal) else (lambda k: scal[k])
     r_v = [[v(0), v(1), v(2)], [v(3), v(4), v(5)], [v(6), v(7), v(8)]]
     tv = (v(9), v(10), v(11))
@@ -286,8 +309,17 @@ def _project_math(px_, py_, pz_, s00, s01, s02, s11, s12, s22, op, scal):
     det = a * c - bb * bb
     mid = 0.5 * (a + c)
     lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+    # opacity-aware cutoff multiplier (see docstring): s ≤ 3, s → 0 as
+    # op → _ALPHA_MIN (such splats are culled by the op test below)
+    scut = jnp.minimum(3.0, jnp.sqrt(jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(op, _ALPHA_MIN) * (1.0 / _ALPHA_MIN)),
+        1e-6)))
+    radius = jnp.ceil(scut * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
     radius = jnp.minimum(radius, max_radius)
+    rx = jnp.minimum(jnp.ceil(scut * jnp.sqrt(jnp.maximum(a, 0.0))),
+                     radius)
+    ry = jnp.minimum(jnp.ceil(scut * jnp.sqrt(jnp.maximum(c, 0.0))),
+                     radius)
 
     inv_det = 1.0 / jnp.where(det > 1e-12, det, 1.0)
 
@@ -295,12 +327,12 @@ def _project_math(px_, py_, pz_, s00, s01, s02, s11, s12, s22, op, scal):
     my = (pvy * inv_z * p11 + 1.0) * 0.5 * height
 
     valid = ((zv > near) & (det > 1e-12) & (radius >= 1.0)
-             & (mx + radius > 0) & (mx - radius < width)
-             & (my + radius > 0) & (my - radius < height)
+             & (mx + rx > 0) & (mx - rx < width)
+             & (my + ry > 0) & (my - ry < height)
              & (op > _ALPHA_MIN))
     depth = jnp.where(valid, zv, jnp.inf)
     return (mx, my, c * inv_det, -bb * inv_det, a * inv_det, depth,
-            radius, jnp.where(valid, op, 0.0))
+            radius, rx, ry)
 
 
 def _project_kernel(scal_ref, in_ref, out_ref):
@@ -349,17 +381,18 @@ def _project_fast(means, scales, quats, opacities, colors, view, proj,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((10, _PROJ_BR, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, _PROJ_BR, 128), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((9, _PROJ_BR, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, rows, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, rows, 128), jnp.float32),
         interpret=interpret,
     )(scal, planes)
-    mx, my, ca, cb, cc, depth, radius, _ = [
-        outs[k].reshape(-1)[:n] for k in range(8)]
+    mx, my, ca, cb, cc, depth, radius, rx, ry = [
+        outs[k].reshape(-1)[:n] for k in range(9)]
     return ProjectedSplats(
         mean2d=jnp.stack([mx, my], -1),
         conic=jnp.stack([ca, cb, cc], -1), depth=depth,
-        radius=radius.astype(jnp.int32), color=colors, opacity=opacities)
+        radius=radius.astype(jnp.int32), color=colors, opacity=opacities,
+        ext=jnp.stack([rx, ry], -1).astype(jnp.int32))
 
 
 def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
@@ -378,21 +411,25 @@ def _make_records(ps: ProjectedSplats) -> jnp.ndarray:
     return jnp.concatenate([cols, pad], -1)
 
 
-def _emit_fan(mx, my, r, valid, qd, kx_fan: int, ky_fan: int,
+def _emit_fan(mx, my, rx, ry, r, valid, qd, kx_fan: int, ky_fan: int,
               ntx: int, nty: int, db: int, tile_w: int = TILE_W):
     """Candidate (tile << db | qdepth) keys for a kx_fan×ky_fan tile fan.
 
-    Beyond the bbox test, a circle-vs-tile-rect test drops the corner
-    tiles of a splat's span that its circular footprint misses — fewer
-    real pairs means a smaller pack gather and fewer composite steps (the
-    sort size is static regardless). Returns a list of (N,) int32 key
-    streams; culled candidates hold the sentinel key."""
+    The tile span is the footprint ellipse's per-axis BBOX (``rx``,
+    ``ry`` — tight and exact, see _project_math), and a circle-vs-rect
+    test against the CIRCUMSCRIBED radius ``r`` additionally drops span
+    corner tiles the footprint misses (for a rotated ellipse the
+    circumscribed circle is the cheapest safe corner bound; the
+    axis-normalized ellipse test is NOT conservative). Fewer real pairs
+    means a smaller pack gather and fewer composite steps (the sort size
+    is static regardless). Returns a list of (N,) int32 key streams;
+    culled candidates hold the sentinel key."""
     ntiles = ntx * nty
     sentinel = ntiles << db
-    tx0 = jnp.floor((mx - r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
-    tx1 = jnp.floor((mx + r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
-    ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
-    ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    tx0 = jnp.floor((mx - rx) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
+    tx1 = jnp.floor((mx + rx) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
+    ty0 = jnp.floor((my - ry) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    ty1 = jnp.floor((my + ry) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
     r2 = r * r
     keys = []
     for dy in range(ky_fan):
@@ -491,20 +528,21 @@ def _tail_sums(aux_sorted, lo, hi):
     return s_excl(hi) - s_excl(lo)
 
 
-def _emit_pair(mx, my, r, valid, qd, ntx: int, nty: int, db: int,
+def _emit_pair(mx, my, rx, ry, valid, qd, ntx: int, nty: int, db: int,
                tile_w: int):
     """TWO-slot fan for splats spanning at most 2 tiles (≤1 grid-line
     crossing): slot 0 = home tile (tx0, ty0), slot 1 = the one crossed
     neighbor. Callers must route splats crossing BOTH a vertical and a
     horizontal line (up to 2x2 tiles) elsewhere — see ``corner_cap``.
-    No circle-vs-rect cull is needed: a circle crossing one grid line
-    within its row/column band always overlaps the neighbor rect."""
+    No footprint-vs-rect cull is needed: an ellipse whose bbox crosses
+    one grid line within its row/column band always overlaps the
+    neighbor rect on that axis."""
     ntiles = ntx * nty
     sentinel = ntiles << db
-    tx0 = jnp.floor((mx - r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
-    tx1 = jnp.floor((mx + r) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
-    ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
-    ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    tx0 = jnp.floor((mx - rx) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
+    tx1 = jnp.floor((mx + rx) / tile_w).astype(jnp.int32).clip(0, ntx - 1)
+    ty0 = jnp.floor((my - ry) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
+    ty1 = jnp.floor((my + ry) / TILE_H).astype(jnp.int32).clip(0, nty - 1)
     cx = (tx1 > tx0).astype(jnp.int32)
     cy = (ty1 > ty0).astype(jnp.int32)
     home = ty0 * ntx + tx0
@@ -515,6 +553,30 @@ def _emit_pair(mx, my, r, valid, qd, ntx: int, nty: int, db: int,
     return [k0, k1]
 
 
+def _compact_channel(ch_mask, ch_cap: int):
+    """Budgeted channel compaction: indices of the first ``ch_cap`` set
+    bits of ``ch_mask`` (N,), ascending — via ONE unstable key-only sort
+    of ``where(mask, iota, N)`` (masked splats sort to the front in index
+    order; ties are all-sentinel). Bit-identical to the former
+    cumsum+searchsorted form but ~24x faster: XLA searchsorted is a
+    per-query binary search riding the ~140-210M rows/s gather wall
+    (tools/exp_compact.py: 29.5 ms vs 1.2 ms at 200k slots in 1M — the
+    round-4 inria mid-fan regression was two of these per frame).
+
+    Returns (n_set (scalar int32), idx (ch_cap,) int32 in [0, N-1],
+    valid (ch_cap,) bool)."""
+    n = ch_mask.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(ch_mask, iota, jnp.int32(n))
+    (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    head = jax.lax.slice_in_dim(skey, 0, min(ch_cap, n))
+    if ch_cap > n:        # budget exceeds the splat count: pad sentinels
+        head = jnp.concatenate(
+            [head, jnp.full(ch_cap - n, n, jnp.int32)])
+    return (jnp.sum(ch_mask.astype(jnp.int32)),
+            jnp.minimum(head, n - 1), head < n)
+
+
 def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
                 max_per_tile: int | None = None,
@@ -522,7 +584,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 mid_cap: int | None = None,
                 corner_cap: int | None = None,
                 budget=None, tail=None, tile_w: int = TILE_W,
-                records=None, nseg: int = 1):
+                records=None, nseg: int = 1, ext=None):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
@@ -577,10 +639,19 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     (tile, first, block, lo, hi) scalar-prefetch tuple, visited (ntiles,)
     bool, overflow (scalar, in pairs), overflow_big (scalar: large splats
     beyond big_cap), tail_slab — None, or (tail_a (ntiles,),
-    tail_rgb (ntiles, 3)) when ``tail`` is given)."""
+    tail_rgb (ntiles, 3)) when ``tail`` is given).
+
+    ``ext`` ((N, 2) per-axis bbox extents, see _project_math): tile spans
+    and level routing become per-axis (an elongated splat routes to the
+    cheapest fan that covers BOTH its axes); None degrades to the
+    isotropic circumscribed footprint."""
     n = mx.shape[0]
     ntiles = ntx * nty
     r = rad.astype(jnp.float32)
+    if ext is not None:
+        rx, ry = ext[:, 0].astype(jnp.float32), ext[:, 1].astype(jnp.float32)
+    else:
+        rx = ry = r
 
     tile_bits = max(ntiles.bit_length(), 1)   # ids 0..ntiles-1 + sentinel
     # depth bits capped at 22: the f32 quantization product must stay
@@ -597,10 +668,13 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     qd = jnp.clip(qd.astype(jnp.int32), 0, qmax)   # int-space re-clamp
     qd = jnp.where(valid, qd, 0)
 
-    # level-1 fan: splats within the KX×ky span limit (all splats when
-    # two-level binning is off — projection already clamped their radii)
-    r1 = float(level1_max_radius(ky, tile_w))
-    small = valid if big_cap is None else valid & (r <= r1)
+    # level-1 fan: splats whose PER-AXIS extents fit the KX×ky span
+    # limits (all splats when two-level binning is off — projection
+    # already clamped their radii)
+    r1x = (KX - 1) * tile_w // 2 - 1
+    r1y = (ky - 1) * TILE_H // 2 - 1
+    small = valid if big_cap is None else (valid & (rx <= r1x)
+                                           & (ry <= r1y))
     overflow_corner = jnp.zeros((), jnp.int32)
     if corner_cap is not None and ky == 2 and KX == 2:
         # K-REDUCTION: most small splats cross at most ONE tile grid
@@ -610,35 +684,32 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         # ``corner_cap``-budgeted compacted side channel exactly like
         # the big-splat level-2 path (overflowers are dropped whole and
         # counted in overflow_big_splats).
-        tx0 = jnp.floor((mx - r) / tile_w).astype(jnp.int32) \
+        tx0 = jnp.floor((mx - rx) / tile_w).astype(jnp.int32) \
                  .clip(0, ntx - 1)
-        tx1 = jnp.floor((mx + r) / tile_w).astype(jnp.int32) \
+        tx1 = jnp.floor((mx + rx) / tile_w).astype(jnp.int32) \
                  .clip(0, ntx - 1)
-        ty0 = jnp.floor((my - r) / TILE_H).astype(jnp.int32) \
+        ty0 = jnp.floor((my - ry) / TILE_H).astype(jnp.int32) \
                  .clip(0, nty - 1)
-        ty1 = jnp.floor((my + r) / TILE_H).astype(jnp.int32) \
+        ty1 = jnp.floor((my + ry) / TILE_H).astype(jnp.int32) \
                  .clip(0, nty - 1)
         corner = small & (tx1 > tx0) & (ty1 > ty0)
         lvl1 = small & ~corner
-        keys = _emit_pair(mx, my, r, lvl1, qd, ntx, nty, db, tile_w)
+        keys = _emit_pair(mx, my, rx, ry, lvl1, qd, ntx, nty, db, tile_w)
         ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
         pay_src = [(None, len(keys))]
-        ccsum = jnp.cumsum(corner.astype(jnp.int32))
-        ncorner = ccsum[-1]
+        ncorner, ccidx, cvalid = _compact_channel(corner, corner_cap)
         overflow_corner = jnp.maximum(ncorner - corner_cap, 0)
-        cslot = jnp.arange(corner_cap, dtype=jnp.int32)
-        ccidx = jnp.clip(jnp.searchsorted(ccsum, cslot + 1, side="left"),
-                         0, n - 1).astype(jnp.int32)
-        cside = jnp.stack([mx, my, r, qd.astype(jnp.float32)], -1)
-        cs = jnp.take(cside, ccidx, axis=0)            # (corner_cap, 4)
-        cvalid = cslot < ncorner
-        ckeys = _emit_fan(cs[:, 0], cs[:, 1], cs[:, 2], cvalid,
-                          cs[:, 3].astype(jnp.int32), KX, ky,
+        cside = jnp.stack([mx, my, rx, ry, r,
+                           qd.astype(jnp.float32)], -1)
+        cs = jnp.take(cside, ccidx, axis=0)            # (corner_cap, 6)
+        ckeys = _emit_fan(cs[:, 0], cs[:, 1], cs[:, 2], cs[:, 3],
+                          cs[:, 4], cvalid,
+                          cs[:, 5].astype(jnp.int32), KX, ky,
                           ntx, nty, db, tile_w)
         corner_extra = (ckeys, ccidx)
     else:
-        keys = _emit_fan(mx, my, r, small, qd, KX, ky, ntx, nty, db,
-                         tile_w)
+        keys = _emit_fan(mx, my, rx, ry, r, small, qd, KX, ky, ntx, nty,
+                         db, tile_w)
         ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
         pay_src = [(None, len(keys))]
         corner_extra = None
@@ -671,25 +742,24 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         # slots than the 64-slot coarse fan (tools/exp_inria.py — the
         # round-3 inria 29 dB floor was 129k of 192k big splats dropped
         # whole by a coarse-only n/16 budget).
-        side = jnp.stack([mx, my, r, qd.astype(jnp.float32)], -1)
-        rm = float(level_mid_max_radius(tile_w))
+        side = jnp.stack([mx, my, rx, ry, r, qd.astype(jnp.float32)], -1)
         if mid_cap is not None:
-            channels = [(valid & (r > r1) & (r <= rm), mid_cap,
-                         _kxm(tile_w), KY_M),
-                        (valid & (r > rm), big_cap, _kx2(tile_w), KY2)]
+            kxm = _kxm(tile_w)
+            rmx = (kxm - 1) * tile_w // 2 - 1
+            rmy = (KY_M - 1) * TILE_H // 2 - 1
+            fits_mid = (rx <= rmx) & (ry <= rmy)
+            channels = [(valid & ~small & fits_mid, mid_cap, kxm, KY_M),
+                        (valid & ~small & ~fits_mid, big_cap,
+                         _kx2(tile_w), KY2)]
         else:
-            channels = [(valid & (r > r1), big_cap, _kx2(tile_w), KY2)]
+            channels = [(valid & ~small, big_cap, _kx2(tile_w), KY2)]
         for ch_mask, ch_cap, ch_kx, ch_ky in channels:
-            csum = jnp.cumsum(ch_mask.astype(jnp.int32))
-            nbig = csum[-1]
+            nbig, bidx, bvalid = _compact_channel(ch_mask, ch_cap)
             overflow_big = overflow_big + jnp.maximum(nbig - ch_cap, 0)
-            slot = jnp.arange(ch_cap, dtype=jnp.int32)
-            bidx = jnp.clip(jnp.searchsorted(csum, slot + 1, side="left"),
-                            0, n - 1).astype(jnp.int32)
-            bs = jnp.take(side, bidx, axis=0)           # (ch_cap, 4)
-            bvalid = slot < nbig
-            bkeys = _emit_fan(bs[:, 0], bs[:, 1], bs[:, 2], bvalid,
-                              bs[:, 3].astype(jnp.int32), ch_kx, ch_ky,
+            bs = jnp.take(side, bidx, axis=0)           # (ch_cap, 6)
+            bkeys = _emit_fan(bs[:, 0], bs[:, 1], bs[:, 2], bs[:, 3],
+                              bs[:, 4], bvalid,
+                              bs[:, 5].astype(jnp.int32), ch_kx, ch_ky,
                               ntx, nty, db, tile_w)
             keys += bkeys
             ids.append(jnp.tile(bidx, len(bkeys)))
@@ -1477,7 +1547,8 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
     pack_idx, steps, visited, _, _, _, _ = _bin_splats(
         sg(ps.mean2d[:, 0]), sg(ps.mean2d[:, 1]), ps.radius,
         jnp.isfinite(sg(ps.depth)), sg(ps.depth), ntx, nty, cap_pairs,
-        ky=ky, max_per_tile=max_splats_per_tile, tile_w=tile_w)
+        ky=ky, max_per_tile=max_splats_per_tile, tile_w=tile_w,
+        ext=ps.ext)
     packed = jnp.take(records, pack_idx, axis=0)
     r, g, b, t = composite_diff(packed, steps, nty, ntx, interpret,
                                 tile_w)
@@ -1653,6 +1724,11 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     tiles can still win on saturation-bound fog (measure per scene —
     BENCHLOG round 3).
     """
+    if mid_splat_cap is not None and big_splat_cap is None:
+        # the whole mid-fan channel block is gated on big_splat_cap; a
+        # silent ignore here means level-1-clamped rendering that looks
+        # configured but isn't (ADVICE round 3)
+        raise ValueError("mid_splat_cap requires big_splat_cap")
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
         from ..models.gaussians import eval_sh_colors
@@ -1712,7 +1788,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                 tile_w=tile_w,
                 records=(records if payload_sort
                          and max_splats_per_tile is None else None),
-                nseg=nseg)
+                nseg=nseg, ext=ps.ext)
     with jax.named_scope("gs.pack"):
         # exact mode: records rode the sort as payload columns and
         # pack_idx already IS the packed array (see _bin_splats); the
@@ -1789,12 +1865,23 @@ def update_lod_budget(tile_exec, max_splats_per_tile: int,
     same frame) separate saturation from starvation: a tile that walked
     its whole truncated list without saturating (exec == kept < count)
     RAN DRY — geometric growth alone needs ~7 frames to recover a 10x
-    truncation (shell silhouette tiles, tools/exp_shell.py). Its full
-    list size goes into a second DRY-NEED budget channel (output shape
-    (ntiles, 2)) that _bin_splats funds from pool SURPLUS only, so the
-    jump cannot distort the floor allocation on scenes where nothing
-    saturates (fog grazing views went 37 -> 26 dB when dry need was
-    folded into the floor — BENCHLOG round 3)."""
+    truncation (shell silhouette tiles, tools/exp_shell.py). Dry tiles
+    get TWO treatments:
+
+    * a FLOOR-channel jump to min(count, _DRY_FLOOR_CAP·mpt): in
+      dry-heavy scenes (inria: ~1750 of 2040 tiles dry) the pure
+      exec-driven budget is a rich-get-richer feedback — everyone grows
+      1.5x, the proportional pool scale-down cancels it, and the
+      allocation stays frozen at the warm-up distribution while the
+      truly starved tiles never recover (measured: temporal 33.4 dB vs
+      STATIC 42.5 dB at inria mpt=768 — tools/exp_cert.py 2026-08-19).
+      The jump is capped at a small multiple of mpt so the
+      oversubscribed regime (fog grazing views, where EVERY tile is dry
+      with a huge count) degrades to the balanced static allocation
+      instead of ∝count (which cost 37→26 dB when tried raw — BENCHLOG
+      round 3);
+    * its full list size in a second DRY-NEED channel (output shape
+      (ntiles, 2)) that _bin_splats funds from pool SURPLUS only."""
 
     def pool3(a):
         ap = jnp.pad(a.reshape(nty, ntx), 1, mode="edge")
@@ -1810,6 +1897,8 @@ def update_lod_budget(tile_exec, max_splats_per_tile: int,
         return b
     e = tile_exec.astype(jnp.int32)
     dry = (tile_kept > 0) & (e >= tile_kept) & (tile_kept < tile_count)
+    jump = jnp.minimum(tile_count, _DRY_FLOOR_CAP * max_splats_per_tile)
+    b = jnp.maximum(b, jnp.where(dry, jump, 0))
     # need is NOT 3x3-pooled: pooling inflated sum(extra) ~9x and spread
     # the surplus so thin the genuinely starved tiles gained little
     # (floor channel pooling already covers camera motion)

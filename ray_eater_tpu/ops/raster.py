@@ -794,6 +794,13 @@ def _shade(pipe: GraphicsPipeline, fb: Framebuffer, gdepth, gtri, gl0, gl1,
     vary_px = {}
     for name in names:
         vary_px[name] = jnp.einsum("hwi,hwik->hwk", lp, fetched[name])
+    # deferred-coverage mask for fragment shaders: uncovered pixels carry
+    # triangle 0's varyings (their output is discarded below), but block
+    # samplers like ops.sampling._sample_subtile need to EXCLUDE them from
+    # per-subtile footprints — silhouette subtiles otherwise fall to a
+    # coarse mip for their real pixels too. Built-in shaders forward this
+    # to sample(valid=...); user shaders may ignore it.
+    vary_px["_coverage"] = mask
 
     rgba = pipe.fragment_fn(vary_px, resources)       # (H, W, 4)
     out = blend_color(pipe.state.blend, rgba, fb.color)

@@ -35,11 +35,21 @@ def _wrap(i: jnp.ndarray, n: int, mode: AddressMode) -> jnp.ndarray:
     return jnp.clip(i, 0, n - 1)  # CLAMP_TO_EDGE
 
 
-def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
+def sample(tex: Texture, uv: jnp.ndarray,
+           valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample ``tex`` at normalized ``uv`` (..., 2) → (..., 4) linear RGBA.
 
     Vulkan texel addressing: ``t = uv * size - 0.5`` with the filter applied
     in unnormalized texel space.
+
+    ``valid`` (optional, same shape as ``uv[..., 0]``, bool): coverage mask
+    of the deferred G-buffer — pixels outside it carry another triangle's
+    (or no triangle's) uv. Output at invalid pixels is unspecified (the
+    caller masks it); the SUBTILE window sampler uses the mask to exclude
+    those pixels from its per-subtile footprint, so a silhouette edge
+    crossing a subtile no longer forces the whole subtile to a coarse mip
+    level (the C-vs-D 39.9 dB LOD-quantization delta of
+    tools/exp_raster4.py was dominated by exactly these subtiles).
     """
     data = tex.data
     h, w = data.shape[0], data.shape[1]
@@ -58,7 +68,7 @@ def sample(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
         if (getattr(tex, "win_table", None) is not None and uv.ndim == 3
                 and min(uv.shape[0], uv.shape[1]) >= _SUB
                 and os.environ.get("RAYEATER_SUBTILE", "1") != "0"):
-            return _sample_subtile(tex, uv)
+            return _sample_subtile(tex, uv, valid=valid)
         return _sample_mip(tex, uv)
 
     if getattr(tex, "packed", None) is not None:
@@ -224,7 +234,8 @@ def _tcoord(c, n, repeat: bool):
     return jnp.clip(t, 0.0, n - 1.0)
 
 
-def _sample_subtile(tex, uv: jnp.ndarray) -> jnp.ndarray:
+def _sample_subtile(tex, uv: jnp.ndarray,
+                    valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """SUBTILE window sampler: trilinear mipmapped sampling with ZERO
     per-pixel gathers.
 
@@ -283,6 +294,8 @@ def _sample_subtile(tex, uv: jnp.ndarray) -> jnp.ndarray:
     if (Hp, Wp) != (H, W):
         pad = ((0, Hp - H), (0, Wp - W))
         cu, cv, lod = (jnp.pad(a, pad, mode="edge") for a in (cu, cv, lod))
+        if valid is not None:
+            valid = jnp.pad(valid, pad, mode="edge")
     ns = (Hp // _SUB) * (Wp // _SUB)
 
     def st(a):
@@ -290,6 +303,21 @@ def _sample_subtile(tex, uv: jnp.ndarray) -> jnp.ndarray:
             0, 2, 1, 3).reshape(ns, _SPIX)
 
     cus, cvs, lods = st(cu), st(cv), st(lod)
+    if valid is not None:
+        # coverage-masked footprint: replace uncovered pixels' coords with
+        # the subtile's covered-mean (so footprint min/max, the window
+        # origin, AND the fit test see only real pixels; uncovered output
+        # is garbage-but-masked by the caller either way) and their lod
+        # with the covered max (keeps frac in range). All-uncovered
+        # subtiles fall back to coords 0 / lod 0 — fully masked anyway.
+        vs = st(valid)
+        cnt = jnp.maximum(jnp.sum(vs, axis=1, keepdims=True), 1)
+        mu = jnp.sum(jnp.where(vs, cus, 0.0), axis=1, keepdims=True) / cnt
+        mv = jnp.sum(jnp.where(vs, cvs, 0.0), axis=1, keepdims=True) / cnt
+        ml = jnp.max(jnp.where(vs, lods, 0.0), axis=1, keepdims=True)
+        cus = jnp.where(vs, cus, mu)
+        cvs = jnp.where(vs, cvs, mv)
+        lods = jnp.where(vs, lods, ml)
 
     # ---- per-subtile level: derivative LOD floor + footprint fit ------
     # the EXACT fit test per level: the window origin snaps down to the

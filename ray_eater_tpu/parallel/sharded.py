@@ -41,21 +41,30 @@ def _ring_compact(packet, keep_fn, budget: int, axis: str, d: int):
     depth-sliced renderers): the (n/d, C) shard packets circulate the ICI
     ring d-1 hops via ``ppermute``; at each visit this device compacts
     the rows ``keep_fn(pkt)`` selects into a fixed ``budget``-row buffer
-    (scatter-free cumsum+searchsorted append, the big-splat-channel
-    pattern). The d-th shard is the one already in hand after the last
+    (scatter-free SORT-compaction append — one unstable key-only sort of
+    where(keep, iota, nd), the gs._compact_channel pattern; the former
+    cumsum+searchsorted form rides the per-query-binary-search gather
+    wall at ~24x the cost at these slot counts, tools/exp_compact.py).
+    The d-th shard is the one already in hand after the last
     hop, so no trailing ppermute is paid. Rows beyond the budget are
     dropped whole and counted. Returns (buffer, count, overflow)."""
     nd = packet.shape[0]
     slot = jnp.arange(budget, dtype=jnp.int32)
     perm = [(i, (i + 1) % d) for i in range(d)]
+    iota = jnp.arange(nd, dtype=jnp.int32)
 
     def compact(pkt, buf, cnt, ov):
         ok = keep_fn(pkt)
-        csum = jnp.cumsum(ok.astype(jnp.int32))
-        k = csum[-1]
-        src = jnp.clip(jnp.searchsorted(csum, slot - cnt + 1,
-                                        side="left").astype(jnp.int32),
-                       0, nd - 1)
+        key = jnp.where(ok, iota, jnp.int32(nd))
+        (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        k = jnp.sum(ok.astype(jnp.int32))
+        head = jnp.minimum(skey, nd - 1)
+        head = (head[:budget] if budget <= nd else jnp.concatenate(
+            [head, jnp.full(budget - nd, nd - 1, jnp.int32)]))
+        # append at offset cnt: slot s >= cnt reads kept row (s - cnt) —
+        # a cyclic roll of the compacted id vector (wrapped slots < cnt
+        # are masked off by ``put`` below)
+        src = jnp.roll(head, cnt)
         rows = jnp.take(pkt, src, axis=0)
         put = (slot >= cnt) & (slot < cnt + k)
         buf = jnp.where(put[:, None], rows, buf)
@@ -187,14 +196,16 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                             width, height, ky=ky,
                                             max_radius=max_radius)
         rec_local = gs_ops._make_records(ps_local)          # (n/d, 12)
-        # binning columns (radius/depth/valid) ride the same all_gather
-        # as the kernel record table: one (n/d, 16) ICI collective
+        # binning columns (radius/depth/valid/per-axis extents) ride the
+        # same all_gather as the kernel record table: one (n/d, 17) ICI
+        # collective
         aux = jnp.stack([ps_local.radius.astype(jnp.float32),
                          jnp.where(jnp.isfinite(ps_local.depth),
                                    ps_local.depth, jnp.inf),
                          jnp.isfinite(ps_local.depth).astype(jnp.float32),
-                         jnp.zeros_like(ps_local.depth)], -1)
-        packet = jnp.concatenate([rec_local, aux], -1)      # (n/d, 16)
+                         ps_local.ext[:, 0].astype(jnp.float32),
+                         ps_local.ext[:, 1].astype(jnp.float32)], -1)
+        packet = jnp.concatenate([rec_local, aux], -1)      # (n/d, 17)
         band = jax.lax.axis_index(axis)
         y0 = (band * band_px).astype(jnp.float32)
         ov_ring = jnp.zeros((), jnp.int32)
@@ -203,9 +214,9 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
             # splats of every visiting shard into a ring_budget buffer
             def keep_band(pkt):
                 my_ = pkt[:, gs_ops._MY]
-                rad_ = pkt[:, gs_ops._ROWS]
+                ry_ = pkt[:, gs_ops._ROWS + 4]   # vertical bbox extent
                 return ((pkt[:, gs_ops._ROWS + 2] > 0.5)
-                        & (my_ + rad_ > y0) & (my_ - rad_ < y0 + band_px))
+                        & (my_ + ry_ > y0) & (my_ - ry_ < y0 + band_px))
 
             packet, _, ov_ring = _ring_compact(packet, keep_band,
                                                ring_budget, axis, d)
@@ -215,10 +226,12 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         records, rad = packet[:, :gs_ops._ROWS], packet[:, gs_ops._ROWS]
         depth, valid = packet[:, gs_ops._ROWS + 1], packet[
             :, gs_ops._ROWS + 2] > 0.5
+        ext = packet[:, gs_ops._ROWS + 3:gs_ops._ROWS + 5]
 
         # --- tile-parallel composite: this device's row band ---
         my = records[:, gs_ops._MY]
-        in_band = (my + rad > y0) & (my - rad < y0 + band_px)
+        ry_v = ext[:, 1]
+        in_band = (my + ry_v > y0) & (my - ry_v < y0 + band_px)
         records = records.at[:, gs_ops._MY].add(-y0)
 
         tail_in = None
@@ -246,7 +259,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                tail=tail_in, tile_w=tile_w,
                                records=(records if max_splats_per_tile
                                         is None else None),
-                               nseg=nseg)
+                               nseg=nseg, ext=ext)
         # exact mode: payload-sort returned the packed array directly
         packed = (pack_idx if max_splats_per_tile is None
                   else gs_ops._pack_records(records, pack_idx))
@@ -385,8 +398,9 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
         aux = jnp.stack([ps.radius.astype(jnp.float32),
                          jnp.where(valid_l, ps.depth, jnp.inf),
                          valid_l.astype(jnp.float32),
-                         jnp.zeros_like(ps.depth)], -1)
-        packet = jnp.concatenate([rec, aux], -1)             # (n/d, 16)
+                         ps.ext[:, 0].astype(jnp.float32),
+                         ps.ext[:, 1].astype(jnp.float32)], -1)
+        packet = jnp.concatenate([rec, aux], -1)             # (n/d, 17)
 
         # --- global depth quantiles: one psum'd histogram ---
         dpth = packet[:, gs_ops._ROWS + 1]
@@ -428,7 +442,8 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
          _) = gs_ops._bin_splats(
             records[:, gs_ops._MX], records[:, gs_ops._MY], rad, valid,
             depth, ntx, nty, cap_pairs, ky=ky, tile_w=tile_w,
-            big_cap=big_splat_cap, records=records)
+            big_cap=big_splat_cap, records=records,
+            ext=sl[:, gs_ops._ROWS + 3:gs_ops._ROWS + 5])
         r_, g_, b_, t_, _ = gs_ops._composite_call(
             packed, steps, nty, ntx, interpret, tile_w)
         # background-free planes: C premultiplied, T transmittance —

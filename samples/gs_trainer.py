@@ -137,7 +137,9 @@ def train_adc(args):
                      "-> %d live; loss %.6f", i, int(st["n_clone"]),
                      int(st["n_split"]), int(st["n_prune"]),
                      int(st["n_live"]), float(loss))
-        if pos % 1500 == 0 and i < last_densify:
+        # fire when the window CROSSED a 1500-step boundary (pos only
+        # visits multiples of densify_every, which need not divide 1500)
+        if (pos // 1500) > ((pos - nwin) // 1500) and i < last_densify:
             params = reset_opacity(params, dstate)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
@@ -154,10 +156,22 @@ def train_adc(args):
              to_srgb_u8(targets[0]))
     save_png(os.path.join(args.out, "fitted.png"), to_srgb_u8(final))
     n_live = int(jnp.sum(dstate.live))
+    if args.save_ply:
+        # training→rendering closed loop (VERDICT round-3 task 4): export
+        # the LIVE reconstructed splats so bench.py can flythrough-render
+        # them (RAYEATER_BENCH_SCENE=trained RAYEATER_BENCH_PLY=<path>)
+        from ray_eater_tpu.models.gaussians import save_ply
+        from ray_eater_tpu.models.gs_training import cloud_from_params
+        live = np.asarray(dstate.live)
+        full = cloud_from_params(params)
+        trained = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a)[live]), full)
+        save_ply(args.save_ply, trained)
+        log.info("saved %d live splats to %s", n_live, args.save_ply)
     print(f"gs_trainer[adc/{path}]: {args.steps} steps, {n0} -> "
           f"{n_live} live splats (cap {cap}), {args.views} views "
           f"{W}x{H} on {ctx.device.platform}, "
-          f"{max(args.steps - 1, 1) / dt:.1f} steps/s; "
+          f"{max(args.steps - timed_from, 1) / dt:.1f} steps/s; "
           f"mean PSNR {np.mean(psnrs):.1f} dB (min {min(psnrs):.1f}), "
           f"held-out {np.mean(hpsnrs):.1f} dB "
           f"(saved {args.out}/fitted.png)")
@@ -187,6 +201,10 @@ def main(argv=None):
     ap.add_argument("--views", type=int, default=6,
                     help="--adc camera count around the scene")
     ap.add_argument("--densify-every", type=int, default=100)
+    ap.add_argument("--save-ply", default=None,
+                    help="--adc: export the reconstructed live splats as "
+                         "PLY (bench them: RAYEATER_BENCH_SCENE=trained "
+                         "RAYEATER_BENCH_PLY=<path> python bench.py)")
     ap.add_argument("--out", default="/tmp/rayeater_train")
     args = ap.parse_args(argv)
     if args.adc:

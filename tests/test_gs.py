@@ -81,17 +81,24 @@ def reference_composite(ps: ProjectedSplats, width, height, bg,
     sensitive = np.zeros((height, width), bool)
     ntx = -(-width // tw)
     nty = -(-height // gs.TILE_H)
-    r1 = gs.level1_max_radius(tile_w=tw)
+    # per-axis level-1 span limits (the kernel's anisotropic routing)
+    r1x = (gs.KX - 1) * tw // 2 - 1
+    r1y = (gs.KY - 1) * gs.TILE_H // 2 - 1
     for i in order:
         if not np.isfinite(float(ps.depth[i])):
             continue
         mx, my = (float(ps.mean2d[i, 0]), float(ps.mean2d[i, 1]))
         r = float(ps.radius[i])
-        tx0 = int(np.clip(np.floor((mx - r) / tw), 0, ntx - 1))
-        tx1 = int(np.clip(np.floor((mx + r) / tw), 0, ntx - 1))
-        ty0 = int(np.clip(np.floor((my - r) / gs.TILE_H), 0, nty - 1))
-        ty1 = int(np.clip(np.floor((my + r) / gs.TILE_H), 0, nty - 1))
-        kx, ky = ((gs._kx2(tw), gs.KY2) if two_level and r > r1
+        # bbox spans use the per-axis extents; the circle corner cull
+        # uses the circumscribed radius (gs._emit_fan semantics)
+        rx = float(ps.ext[i, 0]) if ps.ext is not None else r
+        ry = float(ps.ext[i, 1]) if ps.ext is not None else r
+        tx0 = int(np.clip(np.floor((mx - rx) / tw), 0, ntx - 1))
+        tx1 = int(np.clip(np.floor((mx + rx) / tw), 0, ntx - 1))
+        ty0 = int(np.clip(np.floor((my - ry) / gs.TILE_H), 0, nty - 1))
+        ty1 = int(np.clip(np.floor((my + ry) / gs.TILE_H), 0, nty - 1))
+        kx, ky = ((gs._kx2(tw), gs.KY2)
+                  if two_level and (rx > r1x or ry > r1y)
                   else (gs.KX, gs.KY))
         tx1 = min(tx1, tx0 + kx - 1)      # span cap, like the kernel
         ty1 = min(ty1, ty0 + ky - 1)
@@ -627,8 +634,11 @@ def test_lod_budget_dry_tiles_fill_need_channel():
     assert b.shape == (nt, 2)
     floor = b[:, 0].reshape(nty, ntx)
     need = b[:, 1].reshape(nty, ntx)
-    # floors grow geometrically regardless of dryness
-    assert floor[0, 0] == int(500 * 1.5) + gs.CHUNK
+    # a DRY tile's floor jumps to min(count, _DRY_FLOOR_CAP*mpt) in one
+    # frame (geometric growth alone froze the allocation on dry-heavy
+    # scenes: temporal 33.4 dB vs static 42.5 dB on inria — exp_cert
+    # 2026-08-19); its neighbors keep the pooled geometric growth
+    assert floor[0, 0] == min(8000, gs._DRY_FLOOR_CAP * mpt)
     assert floor[1, 1] == int(500 * 1.5) + gs.CHUNK   # 3x3 pool of tile 0
     # dry tile 0's full count lands in the need channel UNPOOLED (the
     # surplus concentrates on the starved tile itself — pooling diluted

@@ -198,3 +198,58 @@ def test_sharded_jit_compiles_once():
     img = step(cloud.means, cloud.scales, cloud.quats, cloud.opacities,
                cloud.colors, view, proj)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_gaussians_sharded_midfan_exact_certified_matches_single():
+    # the inria PRODUCTION knob set (VERDICT round-3 task 6): three-level
+    # binning (mid_splat_cap with big_splat_cap), payload-sort exact pack,
+    # and the saturation-certified lossless flag — sharded == single on
+    # the configs that actually ship. Wide radius range so all three fan
+    # levels carry splats.
+    view, proj = camera()
+    cloud = random_cloud(1024, seed=5, extent=0.7,
+                         scale_range=(0.02, 0.28))
+    mesh = make_device_mesh()
+    caps = dict(big_splat_cap=256, mid_splat_cap=512, tile_w=32)
+
+    # exact mode (payload-sort): bit-near parity + certificates agree
+    single, st1 = render_gaussians(cloud, view, proj, W, H,
+                                   return_stats=True, interpret=True,
+                                   **caps)
+    sharded, st2 = render_gaussians_sharded(cloud, view, proj, W, H, mesh,
+                                            return_stats=True,
+                                            interpret=True, **caps)
+    assert int(st1["overflow_big_splats"]) == 0
+    assert int(st2["overflow_big_splats"]) == 0
+    assert bool(st1["lossless"]) and bool(st2["lossless"])
+    err = np.abs(np.asarray(sharded) - np.asarray(single))
+    assert err.max() < 1e-4, err.max()
+
+    # LOD mode with the mid fan + temporal budget round trip
+    from ray_eater_tpu.ops.gs import num_tiles, update_lod_budget
+    kw = dict(max_splats_per_tile=128, **caps)
+    s_lod, stl1 = render_gaussians(cloud, view, proj, W, H,
+                                   return_stats=True, interpret=True,
+                                   **kw)
+    d_lod, stl2 = render_gaussians_sharded(cloud, view, proj, W, H, mesh,
+                                           return_stats=True,
+                                           interpret=True, **kw)
+    err2 = np.abs(np.asarray(d_lod) - np.asarray(s_lod))
+    assert err2.mean() < 5e-3, err2.mean()
+    ntx, nty = num_tiles(W, H, tile_w=32)
+    nty = -(-nty // 8) * 8
+    budget = update_lod_budget(stl2["tile_exec"], 128, ntx, nty,
+                               stl2["tile_kept"], stl2["tile_count"])
+    img2 = render_gaussians_sharded(cloud, view, proj, W, H, mesh,
+                                    lod_budget=budget, interpret=True,
+                                    **kw)
+    err3 = np.abs(np.asarray(img2) - np.asarray(s_lod))
+    assert err3.mean() < 5e-3, err3.mean()
+
+
+def test_mid_cap_requires_big_cap():
+    view, proj = camera()
+    cloud = random_cloud(256, seed=1)
+    with pytest.raises(ValueError, match="mid_splat_cap"):
+        render_gaussians(cloud, view, proj, W, H, mid_splat_cap=64,
+                         interpret=True)

@@ -188,3 +188,54 @@ def test_subtile_sampler_exact_at_magnification():
     got = np.asarray(sp._sample_subtile(t, jnp.asarray(uv)))
     want = np.asarray(sp._sample_mip(t, jnp.asarray(uv)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_subtile_sampler_coverage_mask_fixes_silhouettes():
+    # deferred G-buffers carry garbage uv on uncovered pixels (they hold
+    # triangle 0's plane, discontinuous at the silhouette). Unmasked, a
+    # silhouette crossing a 16x16 subtile blows up its footprint and the
+    # whole subtile falls to a coarse mip — the dominant term of the
+    # exp_raster4 C-vs-D 39.9 dB delta. With valid=coverage the covered
+    # pixels must track the per-pixel gather path closely.
+    import ray_eater_tpu.ops.sampling as sp
+    rng = np.random.RandomState(9)
+    tex_u8 = (rng.rand(64, 64, 4) * 255).astype(np.uint8)
+    smip = Sampler(filter=Filter.LINEAR, address_mode=AddressMode.REPEAT,
+                   mipmap=True)
+    t = texture_from_array(tex_u8, smip, srgb=False)
+    uv = _uv_perspective().copy()
+    H, W = uv.shape[:2]
+    ys, xs = np.mgrid[0:H, 0:W]
+    # diagonal silhouette: covered below the line; background uv is a
+    # wildly different plane (another triangle's extension)
+    cov = (ys.astype(np.float32) * 0.7 + 11.0) > xs
+    uv[~cov] = uv[~cov] * 37.0 + 5.3
+    uv = jnp.asarray(uv)
+    want = np.asarray(sp._sample_mip(t, uv))
+    got_m = np.asarray(sp._sample_subtile(t, uv, valid=jnp.asarray(cov)))
+    got_u = np.asarray(sp._sample_subtile(t, uv))
+
+    def psnr_cov(a):
+        mse = float(np.mean((a[cov] - want[cov]) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    pm, pu = psnr_cov(got_m), psnr_cov(got_u)
+    assert pm > 26.0, f"masked subtile diverges on covered px: {pm:.1f} dB"
+    assert pm > pu + 6.0, (
+        f"mask should clearly beat unmasked at silhouettes: {pm:.1f} vs "
+        f"{pu:.1f} dB")
+
+
+def test_subtile_sampler_mask_noop_when_fully_covered():
+    # a full-coverage mask must not change the output at all
+    import ray_eater_tpu.ops.sampling as sp
+    rng = np.random.RandomState(10)
+    tex_u8 = (rng.rand(64, 64, 4) * 255).astype(np.uint8)
+    smip = Sampler(filter=Filter.LINEAR, address_mode=AddressMode.REPEAT,
+                   mipmap=True)
+    t = texture_from_array(tex_u8, smip, srgb=False)
+    uv = jnp.asarray(_uv_perspective())
+    a = np.asarray(sp._sample_subtile(t, uv))
+    b = np.asarray(sp._sample_subtile(
+        t, uv, valid=jnp.ones(uv.shape[:2], bool)))
+    np.testing.assert_allclose(a, b, atol=3e-6)

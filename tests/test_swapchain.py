@@ -34,6 +34,40 @@ def test_ring_warmup_and_drain():
     assert sc.frames_presented == 5
 
 
+def test_ring_order_under_sync_readback_fallback():
+    # Backends without async host copies make present() fall back to a
+    # synchronous device→host copy at DEQUEUE time (swapchain._start_async).
+    # Ring ORDER and completeness must be unchanged — only the overlap is
+    # lost (VERDICT round-3 weak item 7). Simulated by wrapping the encode
+    # output in a proxy whose copy_to_host_async always raises.
+    ctx = re.Context()
+    sc = re.Swapchain(ctx, 32, 16, image_count=3)
+    orig_encode = sc._encode
+
+    class NoAsync:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def copy_to_host_async(self):
+            raise RuntimeError("backend lacks async host copies")
+
+        def __array__(self, dtype=None, copy=None):
+            return np.asarray(self._arr)
+
+    sc._encode = lambda c: NoAsync(orig_encode(c))
+    outs = []
+    for k in range(5):
+        lvl = (k + 1) / 8.0
+        fb = re.create_framebuffer(32, 16, clear_color=(lvl, 0, 0, 1))
+        outs.append(sc.present(fb))
+    assert sc._async_ok is False               # fallback detected + latched
+    assert outs[0] is None and outs[1] is None
+    got = [o for o in outs if o is not None] + list(sc.drain())
+    assert len(got) == 5                       # every frame still arrives
+    reds = [int(img[0, 0, 0]) for img in got]
+    assert reds == sorted(reds) and len(set(reds)) == 5   # FIFO order
+
+
 def test_resize_returns_fresh_ring():
     ctx = re.Context()
     sc = re.Swapchain(ctx, 64, 32)
