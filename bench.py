@@ -72,12 +72,18 @@ def main():
     # dropped 129k of them whole (52% of footprint mass: the 29 dB
     # quality floor).
     big_cap_default = {"inria": n // 32, "trained": n // 16}.get(scene, 0)
-    mid_cap_default = {"inria": n // 5, "trained": n // 4}.get(scene, 0)
+    mid_cap_default = {"inria": n // 16, "trained": n // 8}.get(scene, 0)
+    # mid-LO split (15-31 px fan at half the slot cost): the round-4
+    # census puts ~140k of inria's ~188k over-15px splats under 31 px
+    midlo_cap_default = {"inria": n // 5, "trained": n // 4}.get(scene, 0)
     big_cap = int(os.environ.get("RAYEATER_BENCH_BIGCAP",
                                  big_cap_default)) or None
     mid_cap = (int(os.environ.get("RAYEATER_BENCH_MIDCAP",
                                   mid_cap_default)) or None) \
         if big_cap else None
+    midlo_cap = (int(os.environ.get("RAYEATER_BENCH_MIDLOCAP",
+                                    midlo_cap_default)) or None) \
+        if mid_cap else None
 
     # camera math lives INSIDE the jitted frame: eager rmath calls are each
     # a tiny device dispatch — through this tunnel that costs ~100 ms/frame.
@@ -96,10 +102,11 @@ def main():
     # prints the fidelity of whatever config runs. Per-scene defaults
     # from the round-3 ladder (BENCHLOG): fog 176 (71.6 FPS @ min
     # 37.2 dB), shell 640 (32.5 FPS @ min 42.1 dB); 384 elsewhere.
-    # inria 512: the round-3 ladder (384: 27.5 FPS @ 26.1 dB, 512: 23.7
-    # @ 29.2, 768: 20.6 @ 29.4) — quality saturates ~29-30 dB past 512,
-    # so 512 is the knee
-    mpt_default = {"fog": 176, "shell": 640, "inria": 512}.get(scene, 384)
+    # inria 768 @ tw=64: the round-4 aniso ladder (tools/exp_cert.py
+    # 2026-08-19: 512: 31.5 FPS @ 32.9 dB, 768: 24.2 @ min 38.0) — 768
+    # is the cheapest rung clearing the >=35 dB min-PSNR bar
+    mpt_default = {"fog": 176, "shell": 640, "inria": 768,
+                   "trained": 768}.get(scene, 384)
     # CERTIFIED mode: per-scene pool sized at the measured saturation
     # need (the "LOD is lossless when budgets pass saturation" insight,
     # BENCHLOG 2026-08-17) — the recorded exact answer at production
@@ -115,21 +122,40 @@ def main():
     # tiles make per-pair cost track splat footprint instead of tile
     # area, and at an equal step-pool budget the LOD depth cut is
     # spatially 4x tighter (BENCHLOG round 3 tile-width A/B)
-    tile_w = int(os.environ.get("RAYEATER_BENCH_TILEW", 32))
+    # inria-style elongated-splat scenes win at tw=64 (+39% FPS over 32
+    # at equal mpt, tools/exp_cert.py 2026-08-19: halved tile count beats
+    # the wider-apron cost); fog/shell keep the round-3 winner 32
+    tile_w = int(os.environ.get(
+        "RAYEATER_BENCH_TILEW",
+        {"inria": 64, "trained": 64}.get(scene, 32)))
     # K-reduction corner channel (0 = off): 2-slot level-1 fan + this
-    # many budgeted 2x2 corner-crossing splats (gs.render_gaussians)
-    corner_cap = int(os.environ.get("RAYEATER_BENCH_CORNER_CAP", 0)) \
-        or None
+    # many budgeted 2x2 corner-crossing splats (gs.render_gaussians).
+    # Wins +2.1 FPS at zero PSNR cost on inria tw=64
+    # (tools/exp_lodseg.py 2026-08-19); off elsewhere until measured.
+    corner_cap = int(os.environ.get(
+        "RAYEATER_BENCH_CORNER_CAP",
+        {"inria": n // 8, "trained": n // 8}.get(scene, 0))) or None
     # exact-mode pack strategy: payload-sort (default) or the legacy
     # row-gather (RAYEATER_BENCH_PAYLOAD=0) — escape hatch while the
     # payload program's device-loop behavior is validated on hardware
     payload = os.environ.get("RAYEATER_BENCH_PAYLOAD", "1") != "0"
-    # TEMPORAL adaptive LOD (default on): each frame's executed-depth
-    # telemetry drives the next frame's per-tile budgets, so
-    # early-saturating tiles release step-pool capacity to deep ones —
-    # same static cost, better allocation over the flythrough.
+    # TEMPORAL adaptive LOD (default on for fog/shell): each frame's
+    # executed-depth telemetry drives the next frame's per-tile budgets,
+    # so early-saturating tiles release step-pool capacity to deep ones.
+    # OFF for inria-style scenes: the dry-heavy allocation regime makes
+    # exec-driven budgets a rich-get-richer feedback that freezes the
+    # warm-up distribution (static beats temporal by 3-5 dB at equal
+    # FPS — tools/exp_cert.py 2026-08-19; see gs.update_lod_budget).
+    temporal_default = "0" if scene in ("inria", "trained") else "1"
     temporal = bool(mpt) and (
-        os.environ.get("RAYEATER_BENCH_TEMPORAL", "1") != "0")
+        os.environ.get("RAYEATER_BENCH_TEMPORAL",
+                       temporal_default) != "0")
+    # multi-chunk LOD composite steps (gs.render_gaussians lod_seg):
+    # bit-identical images at any value. Measured NEUTRAL on inria
+    # tw=64/mpt=768 (22.2 vs 22.3 FPS, tools/exp_lodseg.py): unlike
+    # exact mode's mostly-skipped steps, LOD steps run full bodies, so
+    # sequencing hides behind compute — default stays 1
+    lod_seg = int(os.environ.get("RAYEATER_BENCH_LODSEG", 1))
 
     import jax.numpy as jnp
     from jax import lax
@@ -148,11 +174,12 @@ def main():
                                 max_splats_per_tile=mpt,
                                 big_splat_cap=big_cap,
                                 mid_splat_cap=mid_cap,
+                                mid_lo_splat_cap=midlo_cap,
                                 corner_cap=corner_cap,
                                 lod_budget=budget,
                                 return_stats=True,
                                 interpret=interpret,
-                                tile_w=tile_w)
+                                tile_w=tile_w, lod_seg=lod_seg)
 
     frame_fn = jax.jit(one_frame)
     # two channels: [floor want, dry need] — see gs.update_lod_budget
@@ -217,6 +244,7 @@ def main():
                                     pairs_cap_factor=None,
                                     big_splat_cap=big_cap,
                                     mid_splat_cap=mid_cap,
+                                    mid_lo_splat_cap=midlo_cap,
                                     corner_cap=corner_cap,
                                     interpret=interpret,
                                     tile_w=tile_w)

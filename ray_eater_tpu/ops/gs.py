@@ -141,6 +141,27 @@ def level_mid_max_radius(tile_w: int = TILE_W) -> int:
                (_kxm(tile_w) - 1) * tile_w // 2 - 1)
 
 
+#: mid-LO fan vertical span: 3 tiles → 31 px radius ceiling. The inria
+#: census (tools/exp_lod.py 2026-08-19) puts ~140k of the ~188k over-15px
+#: splats under 31 px and only ~27k in (31, 47] — so a 6-slot (tw=64)
+#: mid-lo fan carries the bulk at HALF the 12-slot mid fan's sort-slot
+#: cost (~1.2M static slots saved per frame at the bench caps).
+KY_ML = 3
+
+
+def _kxml(tile_w: int) -> int:
+    """Horizontal slot count of the mid-lo fan (KY_ML-bounded ceiling)."""
+    rlv = (KY_ML - 1) * TILE_H // 2 - 1
+    return -(-2 * (rlv + 1) // tile_w) + 1
+
+
+def level_midlo_max_radius(tile_w: int = TILE_W) -> int:
+    """Radius ceiling of the mid-lo _kxml×KY_ML fan (four-level
+    binning via ``mid_lo_cap``)."""
+    return min((KY_ML - 1) * TILE_H // 2 - 1,
+               (_kxml(tile_w) - 1) * tile_w // 2 - 1)
+
+
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """(N,4) wxyz quaternions → (N,3,3) rotation matrices."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
@@ -577,11 +598,52 @@ def _compact_channel(ch_mask, ch_cap: int):
             jnp.minimum(head, n - 1), head < n)
 
 
+def _compact_channels(masks, caps):
+    """:func:`_compact_channel` for several DISJOINT masks sharing ONE
+    sort: the key carries the channel id in its high bits, so channel
+    c's set indices land contiguously at dynamic offset Σ_{j<c} n_j of
+    the sorted array. Cuts the per-frame compaction cost from one
+    ~1.2 ms 1M-slot sort per channel to one total (the mid/big/corner
+    channels of a three-level inria frame).
+
+    Returns a list of (n_set, idx (cap,), valid (cap,)) triples."""
+    n = masks[0].shape[0]
+    nch = len(masks)
+    if nch == 1:
+        return [_compact_channel(masks[0], caps[0])]
+    shift = max(n.bit_length(), 1)
+    assert shift + (nch + 1).bit_length() < 31
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.full(n, jnp.int32(nch << shift))
+    for c, m in enumerate(masks):
+        key = jnp.where(m, jnp.int32(c << shift) | iota, key)
+    (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    # sentinel pad so the per-channel dynamic_slice below never clamps
+    # (a clamped start would silently pull in the previous channel's
+    # rows); validity is the exact channel-id match, so over-cap reads
+    # into the next channel's run are rejected too
+    maxcap = max(caps)
+    skey = jnp.concatenate(
+        [skey, jnp.full(maxcap, jnp.int32(nch << shift))])
+    counts = [jnp.sum(m.astype(jnp.int32)) for m in masks]
+    out = []
+    off = jnp.zeros((), jnp.int32)
+    for c, cap in enumerate(caps):
+        head = jax.lax.dynamic_slice(skey, (off,), (cap,))
+        idx = head & ((1 << shift) - 1)
+        vld = jax.lax.shift_right_logical(head, shift) == c
+        out.append((counts[c], jnp.minimum(jnp.where(vld, idx, 0),
+                                           n - 1), vld))
+        off = off + counts[c]
+    return out
+
+
 def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
                 max_per_tile: int | None = None,
                 big_cap: int | None = None,
                 mid_cap: int | None = None,
+                mid_lo_cap: int | None = None,
                 corner_cap: int | None = None,
                 budget=None, tail=None, tile_w: int = TILE_W,
                 records=None, nseg: int = 1, ext=None):
@@ -676,6 +738,8 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     small = valid if big_cap is None else (valid & (rx <= r1x)
                                            & (ry <= r1y))
     overflow_corner = jnp.zeros((), jnp.int32)
+    overflow_big = jnp.zeros((), jnp.int32)
+    comp = []     # budgeted side channels: (mask, cap, kx, ky, corner?)
     if corner_cap is not None and ky == 2 and KX == 2:
         # K-REDUCTION: most small splats cross at most ONE tile grid
         # line, so a 2-slot fan covers them — HALF the static sort
@@ -695,67 +759,68 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         corner = small & (tx1 > tx0) & (ty1 > ty0)
         lvl1 = small & ~corner
         keys = _emit_pair(mx, my, rx, ry, lvl1, qd, ntx, nty, db, tile_w)
-        ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
-        pay_src = [(None, len(keys))]
-        ncorner, ccidx, cvalid = _compact_channel(corner, corner_cap)
-        overflow_corner = jnp.maximum(ncorner - corner_cap, 0)
-        cside = jnp.stack([mx, my, rx, ry, r,
-                           qd.astype(jnp.float32)], -1)
-        cs = jnp.take(cside, ccidx, axis=0)            # (corner_cap, 6)
-        ckeys = _emit_fan(cs[:, 0], cs[:, 1], cs[:, 2], cs[:, 3],
-                          cs[:, 4], cvalid,
-                          cs[:, 5].astype(jnp.int32), KX, ky,
-                          ntx, nty, db, tile_w)
-        corner_extra = (ckeys, ccidx)
+        comp.append((corner, corner_cap, KX, ky, True))
     else:
         keys = _emit_fan(mx, my, rx, ry, r, small, qd, KX, ky, ntx, nty,
                          db, tile_w)
-        ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
-        pay_src = [(None, len(keys))]
-        corner_extra = None
+    ids = [jnp.tile(jnp.arange(n, dtype=jnp.int32), len(keys))]
+    pay_src = [(None, len(keys))]
     if tail is not None:
         sent1 = (ntx * nty) << db
         n_pairs = sum((k != sent1).astype(jnp.int32) for k in keys)
         aux_splat = _pack_tail_aux(tail[0], tail[1], n_pairs,
                                    TILE_H * tile_w)
         auxs = [jnp.tile(aux_splat, len(keys))]
-    if corner_extra is not None:
-        ckeys, ccidx = corner_extra
-        keys += ckeys
-        ids.append(jnp.tile(ccidx, len(ckeys)))
-        pay_src.append((ccidx, len(ckeys)))
-        if tail is not None:
-            np_c = sum((k != sent1).astype(jnp.int32) for k in ckeys)
-            aux_c = _pack_tail_aux(jnp.take(tail[0], ccidx),
-                                   jnp.take(tail[1], ccidx, axis=0),
-                                   np_c, TILE_H * tile_w)
-            auxs.append(jnp.tile(aux_c, len(ckeys)))
-    overflow_big = jnp.zeros((), jnp.int32)
     if big_cap is not None:
-        # budgeted coarse fans for LARGE splats. Channel indices compact
-        # via cumsum + searchsorted (scatter-free), their binning columns
-        # ride one small row gather, and their fan keys join the same
-        # single sort. With ``mid_cap`` the big subset splits THREE ways
-        # by radius (level-1 <= r1 < mid <= rm < coarse): trained scenes'
-        # log-normal radius tails put ~85% of over-r1 splats under the
-        # 47 px mid ceiling, where the 16-slot fan costs 4x fewer sort
-        # slots than the 64-slot coarse fan (tools/exp_inria.py — the
-        # round-3 inria 29 dB floor was 129k of 192k big splats dropped
-        # whole by a coarse-only n/16 budget).
-        side = jnp.stack([mx, my, rx, ry, r, qd.astype(jnp.float32)], -1)
+        # budgeted coarse fans for LARGE splats: channel indices compact
+        # scatter-free, their binning columns ride one small row gather,
+        # and their fan keys join the same single sort. With ``mid_cap``
+        # the big subset splits THREE ways by radius (level-1 <= r1 <
+        # mid <= rm < coarse): trained scenes' log-normal radius tails
+        # put ~85% of over-r1 splats under the 47 px mid ceiling, where
+        # the 16-slot fan costs 4x fewer sort slots than the 64-slot
+        # coarse fan (tools/exp_inria.py — the round-3 inria 29 dB floor
+        # was 129k of 192k big splats dropped whole by a coarse-only
+        # n/16 budget).
         if mid_cap is not None:
             kxm = _kxm(tile_w)
             rmx = (kxm - 1) * tile_w // 2 - 1
             rmy = (KY_M - 1) * TILE_H // 2 - 1
             fits_mid = (rx <= rmx) & (ry <= rmy)
-            channels = [(valid & ~small & fits_mid, mid_cap, kxm, KY_M),
-                        (valid & ~small & ~fits_mid, big_cap,
-                         _kx2(tile_w), KY2)]
+            over1 = valid & ~small
+            if mid_lo_cap is not None:
+                # four-level binning: the (15, 31] px bulk of trained
+                # scenes' log-normal tails rides the half-size mid-lo fan
+                kxl = _kxml(tile_w)
+                rlx = (kxl - 1) * tile_w // 2 - 1
+                rly = (KY_ML - 1) * TILE_H // 2 - 1
+                fits_lo = (rx <= rlx) & (ry <= rly)
+                comp.append((over1 & fits_lo, mid_lo_cap, kxl, KY_ML,
+                             False))
+                comp.append((over1 & ~fits_lo & fits_mid, mid_cap, kxm,
+                             KY_M, False))
+            else:
+                comp.append((over1 & fits_mid, mid_cap, kxm, KY_M,
+                             False))
+            comp.append((over1 & ~fits_mid, big_cap,
+                         _kx2(tile_w), KY2, False))
         else:
-            channels = [(valid & ~small, big_cap, _kx2(tile_w), KY2)]
-        for ch_mask, ch_cap, ch_kx, ch_ky in channels:
-            nbig, bidx, bvalid = _compact_channel(ch_mask, ch_cap)
-            overflow_big = overflow_big + jnp.maximum(nbig - ch_cap, 0)
+            comp.append((valid & ~small, big_cap, _kx2(tile_w), KY2,
+                         False))
+    if comp:
+        # ALL budgeted channels (corner/mid/coarse) compact through ONE
+        # shared sort (_compact_channels — the masks are disjoint by
+        # construction: corner ⊂ small, mid/coarse ⊂ ~small)
+        side = jnp.stack([mx, my, rx, ry, r, qd.astype(jnp.float32)], -1)
+        results = _compact_channels([c[0] for c in comp],
+                                    [c[1] for c in comp])
+        for (_, ch_cap, ch_kx, ch_ky, is_corner), (nset, bidx, bvalid) \
+                in zip(comp, results):
+            ov = jnp.maximum(nset - ch_cap, 0)
+            if is_corner:
+                overflow_corner = overflow_corner + ov
+            else:
+                overflow_big = overflow_big + ov
             bs = jnp.take(side, bidx, axis=0)           # (ch_cap, 6)
             bkeys = _emit_fan(bs[:, 0], bs[:, 1], bs[:, 2], bs[:, 3],
                               bs[:, 4], bvalid,
@@ -952,43 +1017,38 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
 
     if max_per_tile is not None:
         # ALIGNED chunk layout: every tile's kept list is repositioned to
-        # start at its own pack-block boundary, so a block belongs to
-        # exactly ONE tile (lo = 0 always) — no boundary-straddle step,
-        # one block/tile less to gather and sequence than the direct
-        # layout (at tile_w=32 that was 2040 steps and 261k packed rows
-        # of pure overhead per frame). Step j of tile t covers sorted
-        # rows [startc_t + j*128, +128): built by gathering the two
-        # covering block-rows (2*cap_steps cheap 128-int rows) and
-        # rotating each row left by (startc_t mod 128) with 7
-        # branch-free conditional rolls. The records pack stays ONE
-        # block-granular row gather in step order (~40x faster than
-        # per-element packing, tools/exp_bin.py).
-        nsteps = (kept + CHUNK - 1) // CHUNK
-        step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                    jnp.cumsum(nsteps).astype(jnp.int32)])
-        total_steps = step_off[-1]
-        sid = jnp.arange(cap_steps, dtype=jnp.int32)
-        owner = jnp.clip(jnp.searchsorted(step_off, sid, side="right")
-                         .astype(jnp.int32) - 1, 0, ntiles - 1)
-        live_step = sid < total_steps
-        step_tile = jnp.where(live_step, owner, ntiles)
-        step_first = ((sid == step_off[owner])
-                      & live_step).astype(jnp.int32)
-        j = sid - step_off[owner]
+        # start at its own pack-block boundary, so a pack block belongs
+        # to exactly ONE tile — no boundary-straddle block, one
+        # block/tile less to gather than the direct layout (at tile_w=32
+        # that was 2040 blocks and 261k packed rows of pure overhead per
+        # frame). Pack block j of tile t covers sorted rows
+        # [startc_t + j*128, +128): built by gathering the two covering
+        # block-rows (2*cap_blocks cheap 128-int rows) and rotating each
+        # row left by (startc_t mod 128) with 7 branch-free conditional
+        # rolls. The records pack stays ONE block-granular row gather in
+        # block order (~40x faster than per-element packing,
+        # tools/exp_bin.py).
+        cap_blocks = _pad_to(cap_steps, nseg)
+        nblocks_t = (kept + CHUNK - 1) // CHUNK
+        blk_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(nblocks_t)
+                                   .astype(jnp.int32)])
+        total_blocks = blk_off[-1]
+        bid = jnp.arange(cap_blocks, dtype=jnp.int32)
+        bowner = jnp.clip(jnp.searchsorted(blk_off, bid, side="right")
+                          .astype(jnp.int32) - 1, 0, ntiles - 1)
+        blive = bid < total_blocks
+        jb = bid - blk_off[bowner]
         nblk = mpad // CHUNK
         # dead slots get DISTINCT block ids: gathers with repeated
         # indices run ~1.7x slower on TPU (BENCHLOG round 2)
-        base = jnp.where(live_step, startc[owner] + j * CHUNK,
-                         (sid % nblk) * CHUNK)
-        step_lo = jnp.zeros(cap_steps, jnp.int32)
-        step_hi = jnp.where(live_step,
-                            jnp.clip(kept[owner] - j * CHUNK, 0, CHUNK),
-                            0)
+        base = jnp.where(blive, startc[bowner] + jb * CHUNK,
+                         (bid % nblk) * CHUNK)
         s2d = sorted_splat.reshape(nblk, CHUNK)
         b0 = base // CHUNK
         brows = jnp.stack([b0, jnp.minimum(b0 + 1, nblk - 1)], -1)
         rows = jnp.take(s2d, brows.reshape(-1), axis=0) \
-                  .reshape(cap_steps, 2 * CHUNK)
+                  .reshape(cap_blocks, 2 * CHUNK)
         sh = base % CHUNK
         k = 1
         while k < CHUNK:
@@ -996,7 +1056,58 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                              jnp.roll(rows, -k, axis=1), rows)
             k *= 2
         pack_idx = rows[:, :CHUNK].reshape(-1)
-        step_block = sid
+        if nseg == 1:
+            # one grid step per pack block (lo = 0 always)
+            step_tile = jnp.where(blive, bowner, ntiles)
+            step_first = ((bid == blk_off[bowner])
+                          & blive).astype(jnp.int32)
+            step_lo = jnp.zeros(cap_blocks, jnp.int32)
+            step_hi = jnp.where(blive,
+                                jnp.clip(kept[bowner] - jb * CHUNK,
+                                         0, CHUNK), 0)
+            step_block = bid
+        else:
+            # MULTI-CHUNK grid steps over the packed stream (``nseg``
+            # pack blocks per step): tile t owns packed rows
+            # [pstart_t, pstart_t + kept_t); steps are built
+            # direct-layout style at blk = nseg*128 granularity —
+            # straddling steps run once per adjacent tile with
+            # complementary [lo, hi) masks. Divides the fixed ~0.66 us
+            # per-step sequencing cost that dominates deep-pool LOD
+            # frames (6120 aligned steps at tile_w=64/mpt=768).
+            blkp = CHUNK * nseg
+            pstart = blk_off[:-1] * CHUNK
+            pend = pstart + kept
+            first_blk = pstart // blkp
+            nsteps = jnp.where(kept > 0,
+                               (pend + blkp - 1) // blkp - first_blk, 0)
+            step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                        jnp.cumsum(nsteps)
+                                        .astype(jnp.int32)])
+            total_steps = step_off[-1]
+            cap_gsteps = cap_blocks // nseg + ntiles
+            sid = jnp.arange(cap_gsteps, dtype=jnp.int32)
+            owner = jnp.clip(
+                jnp.searchsorted(step_off, sid, side="right")
+                .astype(jnp.int32) - 1, 0, ntiles - 1)
+            live_step = sid < total_steps
+            step_tile = jnp.where(live_step, owner, ntiles)
+            step_first = ((sid == step_off[owner])
+                          & live_step).astype(jnp.int32)
+            maxgblk = cap_blocks // nseg - 1
+            gblk = jnp.where(
+                live_step,
+                jnp.clip(first_blk[owner] + (sid - step_off[owner]),
+                         0, maxgblk),
+                sid % (maxgblk + 1))
+            gbase = gblk * blkp
+            step_lo = jnp.where(live_step,
+                                jnp.clip(pstart[owner] - gbase, 0, blkp),
+                                0)
+            step_hi = jnp.where(live_step,
+                                jnp.clip(pend[owner] - gbase, 0, blkp),
+                                0)
+            step_block = gblk
     else:
         # DIRECT chunk layout (exact mode): kernel step s processes one
         # contiguous CHUNK-block of the sorted pair array itself, masked
@@ -1116,10 +1227,12 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
         def _run():
             lo = step_lo_ref[si]
             hi = step_hi_ref[si]
-            # executed-depth telemetry: pairs this tile actually
-            # composited before saturating (drives temporal LOD budgets)
-            e_ref[0] = e_ref[0] + (hi - lo)
             if nseg == 1:
+                # executed-depth telemetry: pairs this tile actually
+                # composited before saturating (drives temporal LOD
+                # budgets); nseg > 1 accumulates per sub-chunk instead
+                # so a mid-step saturation doesn't overcount
+                e_ref[0] = e_ref[0] + (hi - lo)
                 _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref,
                                  sat_ref, tile, ntx, lo, hi, tile_w)
             else:
@@ -1135,6 +1248,7 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
 
                     @pl.when((ghi > glo) & (sat_ref[0] == 0))
                     def _(g=g, glo=glo, ghi=ghi):
+                        e_ref[0] = e_ref[0] + (ghi - glo)
                         _composite_chunk(rec_ref, r_ref, g_ref, b_ref,
                                          t_ref, sat_ref, tile, ntx, glo,
                                          ghi, tile_w, row0=g * CHUNK)
@@ -1155,6 +1269,12 @@ def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
 
     # ``row0``: static sub-block offset within a multi-chunk record block
     col = lambda c: rec_ref[row0:row0 + CHUNK, c:c + 1]      # (C, 1)
+    # elementwise VPU quadratic. An MXU formulation (power = f·g with a
+    # rank-6 tile-local bilinear form, one (C, 8)x(8, P) HIGHEST matmul
+    # replacing these ~10 VPU ops) was built and measured 11% SLOWER
+    # end-to-end (24.4 vs 27.3 FPS ABA, BENCHLOG 2026-08-19): K=8
+    # uses 6% of the 128-deep systolic array and HIGHEST triples the
+    # passes, so the matmul costs more than the VPU ops it replaces.
     dx = px - col(_MX)                              # (C, P)
     dy = py - col(_MY)
     power = (-0.5 * (col(_CA) * dx * dx + col(_CC) * dy * dy)
@@ -1619,6 +1739,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      max_splats_per_tile: int | None = None,
                      big_splat_cap: int | None = None,
                      mid_splat_cap: int | None = None,
+                     mid_lo_splat_cap: int | None = None,
                      corner_cap: int | None = None,
                      lod_budget=None,
                      lod_tail: bool = False,
@@ -1626,7 +1747,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      interpret: bool = False,
                      tile_w: int = TILE_W,
                      payload_sort: bool = True,
-                     exact_seg: int = 8) -> jnp.ndarray:
+                     exact_seg: int = 8,
+                     lod_seg: int = 1) -> jnp.ndarray:
     """Render a GaussianCloud → (height, width, 3) f32 linear image.
     Fully jittable (static: width/height/cap factor).
 
@@ -1678,6 +1800,12 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     mass (the round-3 inria 29 dB floor — invisible to a PSNR gate
     whose reference shared the cap).
 
+    ``mid_lo_splat_cap`` (with ``mid_splat_cap``) splits the mid fan:
+    splats in (level1, level_midlo_max_radius()] = (15, 31] px ride a
+    half-size _kxml×KY_ML fan under this budget — the bulk of a trained
+    scene's over-15px tail (inria census: ~140k of 188k), at half the
+    mid fan's sort-slot cost.
+
     ``lod_tail`` (default OFF, active only with ``max_splats_per_tile``):
     composite the pairs the LOD DROPS as a per-tile homogeneous slab
     (bilinearly smoothed across tiles) behind the kept lists instead of
@@ -1711,8 +1839,15 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     exact frames sequence one grid step per 128-pair block and most steps
     are saturation-skipped, so their fixed ~0.66 us sequencing cost
     dominates; streaming ``exact_seg`` chunks per step with the early-out
-    re-checked between sub-chunks divides it. (The LOD layout keeps
-    1 chunk/step: its block-granular pool grants are 128-pair-quantized.)
+    re-checked between sub-chunks divides it.
+
+    ``lod_seg``: the same knob for the LOD layout — multi-chunk steps
+    are built over the block-aligned packed stream (straddling steps run
+    once per adjacent tile, direct-layout style), dividing the per-step
+    sequencing cost that dominates deep-pool frames (tile_w=64/mpt=768
+    inria sequences 6120 aligned steps ≈ 4 ms at lod_seg=1). Pool
+    grants and pack layout are unchanged — only the grid-step grouping
+    differs, so images are bit-identical across lod_seg values.
 
     ``tile_w`` (32/64/128): composite tile width in pixels. Narrower
     tiles make the composite FOOTPRINT-TIGHT — a splat's chunk evaluates
@@ -1729,6 +1864,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         # silent ignore here means level-1-clamped rendering that looks
         # configured but isn't (ADVICE round 3)
         raise ValueError("mid_splat_cap requires big_splat_cap")
+    if mid_lo_splat_cap is not None and mid_splat_cap is None:
+        raise ValueError("mid_lo_splat_cap requires mid_splat_cap")
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
         from ..models.gaussians import eval_sh_colors
@@ -1757,6 +1894,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         exact_cap += big_splat_cap * _kx2(tile_w) * KY2
         if mid_splat_cap is not None:
             exact_cap += mid_splat_cap * _kxm(tile_w) * KY_M
+            if mid_lo_splat_cap is not None:
+                exact_cap += mid_lo_splat_cap * _kxml(tile_w) * KY_ML
     if pairs_cap_factor is None:
         cap_pairs = exact_cap
     else:
@@ -1766,7 +1905,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     # (max_splats_per_tile sizes its own compact pack layout inside
     # _bin_splats; cap_pairs only governs the exact/direct mode)
     cap_pairs = _pad_to(cap_pairs, CHUNK)
-    nseg = exact_seg if max_splats_per_tile is None else 1
+    nseg = exact_seg if max_splats_per_tile is None else max(lod_seg, 1)
     tail_in = None
     if max_splats_per_tile is not None and lod_tail:
         # per-splat total alpha integral: op * 2π / sqrt(det(conic))
@@ -1783,6 +1922,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                 jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs,
                 ky=ky, max_per_tile=max_splats_per_tile,
                 big_cap=big_splat_cap, mid_cap=mid_splat_cap,
+                mid_lo_cap=mid_lo_splat_cap,
                 corner_cap=corner_cap,
                 budget=lod_budget, tail=tail_in,
                 tile_w=tile_w,

@@ -91,6 +91,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              max_splats_per_tile: int | None = None,
                              big_splat_cap: int | None = None,
                              mid_splat_cap: int | None = None,
+                             mid_lo_splat_cap: int | None = None,
                              corner_cap: int | None = None,
                              lod_budget=None,
                              lod_tail: bool = False,
@@ -99,7 +100,8 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              tile_w: int | None = None,
                              splat_exchange: str = "all_gather",
                              ring_budget: int | None = None,
-                             exact_seg: int = 4
+                             exact_seg: int = 4,
+                             lod_seg: int = 1
                              ) -> jnp.ndarray:
     """Sharded GaussianCloud render → (height, width, 3) on the mesh.
     Feature parity with :func:`ray_eater_tpu.ops.gs.render_gaussians`:
@@ -174,9 +176,13 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
         cap_pairs += big_splat_cap * gs_ops._kx2(tile_w) * gs_ops.KY2
         if mid_splat_cap is not None:
             cap_pairs += mid_splat_cap * gs_ops._kxm(tile_w) * gs_ops.KY_M
-    # exact/direct mode streams exact_seg chunks per composite grid step
-    # (ops.gs.render_gaussians semantics); LOD layouts keep 1 chunk/step
-    nseg = exact_seg if max_splats_per_tile is None else 1
+            if mid_lo_splat_cap is not None:
+                cap_pairs += (mid_lo_splat_cap * gs_ops._kxml(tile_w)
+                              * gs_ops.KY_ML)
+    # multi-chunk composite grid steps (ops.gs.render_gaussians
+    # exact_seg / lod_seg semantics)
+    nseg = (exact_seg if max_splats_per_tile is None
+            else max(lod_seg, 1))
     cap_pairs = _pad_to(cap_pairs, gs_ops.CHUNK * nseg)
     max_radius = (float(gs_ops.level2_max_radius(tile_w))
                   if big_splat_cap is not None else None)
@@ -253,6 +259,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                max_per_tile=max_splats_per_tile,
                                big_cap=big_splat_cap,
                                mid_cap=mid_splat_cap,
+                               mid_lo_cap=mid_lo_splat_cap,
                                corner_cap=corner_cap,
                                budget=(budget_local if lod_budget
                                        is not None else None),

@@ -688,3 +688,112 @@ def test_corner_channel_overflow_counted():
     # a tight budget on a large-splat cloud must overflow and report it
     assert int(st["overflow_big_splats"]) > 0
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_lod_seg_matches_single_chunk():
+    # LOD multi-chunk composite steps (lod_seg > 1) must be BIT-identical
+    # to one-block-per-step: pool grants and the packed layout are
+    # unchanged, only the grid-step grouping differs (gs.render_gaussians
+    # lod_seg; the straddling steps mask [lo, hi) direct-layout style)
+    view, proj = camera()
+    cloud = random_cloud(900, seed=13, extent=0.6,
+                         scale_range=(0.02, 0.09))
+    for mpt in (gs.CHUNK, 300):        # block-exact and mid-block grants
+        base = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                           max_splats_per_tile=mpt,
+                                           lod_seg=1, interpret=True))
+        for seg in (2, 4, 8):
+            img = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                              max_splats_per_tile=mpt,
+                                              lod_seg=seg,
+                                              interpret=True))
+            np.testing.assert_array_equal(img, base, err_msg=f"{mpt}/{seg}")
+
+
+def test_lod_seg_stats_match():
+    # telemetry (exec/kept/count, certificate) must survive the step
+    # regrouping — temporal budgets consume it
+    view, proj = camera()
+    cloud = random_cloud(700, seed=3, extent=0.5, scale_range=(0.03, 0.1))
+    _, st1 = render_gaussians(cloud, view, proj, W, H,
+                              max_splats_per_tile=gs.CHUNK, lod_seg=1,
+                              return_stats=True, interpret=True)
+    _, st4 = render_gaussians(cloud, view, proj, W, H,
+                              max_splats_per_tile=gs.CHUNK, lod_seg=4,
+                              return_stats=True, interpret=True)
+    assert int(st1["overflow_pairs"]) == int(st4["overflow_pairs"])
+    np.testing.assert_array_equal(np.asarray(st1["tile_kept"]),
+                                  np.asarray(st4["tile_kept"]))
+    np.testing.assert_array_equal(np.asarray(st1["tile_exec"]),
+                                  np.asarray(st4["tile_exec"]))
+    assert bool(st1["lossless"]) == bool(st4["lossless"])
+
+
+def test_compact_channels_matches_single():
+    # the shared-sort multi-channel compaction must reproduce per-channel
+    # _compact_channel exactly (indices ascending, validity, counts) for
+    # disjoint masks, including over-cap truncation and cap > n padding
+    rng = np.random.default_rng(7)
+    n = 1000
+    lab = rng.integers(0, 4, n)          # 3 channels + "none"
+    masks = [jnp.asarray(lab == c) for c in range(3)]
+    for caps in ((64, 128, 1200), (8, 1, 16)):
+        merged = gs._compact_channels(list(masks), list(caps))
+        for c, (m, cap) in enumerate(zip(masks, caps)):
+            nref, iref, vref = gs._compact_channel(m, cap)
+            nm, im, vm = merged[c]
+            assert int(nm) == int(nref), c
+            np.testing.assert_array_equal(np.asarray(vm),
+                                          np.asarray(vref), err_msg=str(c))
+            np.testing.assert_array_equal(
+                np.asarray(im)[np.asarray(vm)],
+                np.asarray(iref)[np.asarray(vref)], err_msg=str(c))
+
+
+def test_mid_lo_splat_four_level_matches_reference():
+    # FOUR-level binning (mid_lo_splat_cap): splats in (15, 31] px ride
+    # the half-size mid-lo fan — pure routing change, so the render must
+    # match the float64 oracle while all four channels carry splats
+    view, proj = camera()
+    rng = np.random.RandomState(6)
+    n = 48
+    means = (rng.rand(n, 3).astype(np.float32) - 0.5) * 1.2
+    scales = np.full((n, 3), 0.02, np.float32)
+    scales[:6] = 0.14           # mid-lo: radius 15..31 px
+    scales[6:10] = 0.32         # mid: 31..47 px
+    scales[10:14] = 0.75        # giants: > 47 px (coarse channel)
+    cloud = gaussian_cloud(means, scales, [[1, 0, 0, 0]] * n,
+                           [0.6] * n, rng.rand(n, 3).astype(np.float32))
+    bg = (0.05, 0.05, 0.1)
+    got = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
+                                      big_splat_cap=16, mid_splat_cap=16,
+                                      mid_lo_splat_cap=16,
+                                      interpret=True))
+    base = np.asarray(render_gaussians(cloud, view, proj, W, H, bg,
+                                       big_splat_cap=16, mid_splat_cap=32,
+                                       interpret=True))
+    ps = gs._project_fast(cloud.means, cloud.scales, cloud.quats,
+                          cloud.opacities, cloud.colors, view, proj, W, H,
+                          max_radius=gs.level2_max_radius(),
+                          interpret=True)
+    fin = np.isfinite(np.asarray(ps.depth))
+    rx = np.asarray(ps.ext[:, 0])[fin]
+    ry = np.asarray(ps.ext[:, 1])[fin]
+    r1 = gs.level1_max_radius()
+    rlx = (gs._kxml(gs.TILE_W) - 1) * gs.TILE_W // 2 - 1
+    rly = (gs.KY_ML - 1) * gs.TILE_H // 2 - 1
+    over1 = ~((rx <= r1) & (ry <= r1))
+    lo = over1 & (rx <= rlx) & (ry <= rly)
+    assert lo.sum() > 0, "no mid-lo-channel splat"
+    assert (over1 & ~lo).sum() > 0, "no mid/coarse-channel splat"
+    # the split is a routing change only: identical pairs, same sort
+    np.testing.assert_allclose(got, base, atol=1e-6)
+    # mid-lo overflow is counted: a 1-splat budget must trip the alarm
+    _, stats = render_gaussians(cloud, view, proj, W, H, bg,
+                                big_splat_cap=16, mid_splat_cap=16,
+                                mid_lo_splat_cap=1,
+                                return_stats=True, interpret=True)
+    assert int(stats["overflow_big_splats"]) > 0
+    with pytest.raises(ValueError, match="mid_lo_splat_cap"):
+        render_gaussians(cloud, view, proj, W, H, bg, big_splat_cap=16,
+                         mid_lo_splat_cap=16, interpret=True)

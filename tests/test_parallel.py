@@ -210,7 +210,12 @@ def test_gaussians_sharded_midfan_exact_certified_matches_single():
     cloud = random_cloud(1024, seed=5, extent=0.7,
                          scale_range=(0.02, 0.28))
     mesh = make_device_mesh()
-    caps = dict(big_splat_cap=256, mid_splat_cap=512, tile_w=32)
+    # this cloud projects 904 mid-fan splats at 256x128 (per-axis
+    # extents): caps must clear the counts for the lossless certificate
+    # below to hold; the mid-lo split + corner channel ride along so the
+    # sharded program exercises every fan level that ships
+    caps = dict(big_splat_cap=256, mid_splat_cap=1024,
+                mid_lo_splat_cap=1024, corner_cap=512, tile_w=32)
 
     # exact mode (payload-sort): bit-near parity + certificates agree
     single, st1 = render_gaussians(cloud, view, proj, W, H,
