@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import os
 
 import jax
 import jax.numpy as jnp
@@ -162,7 +163,7 @@ class Texture:
     #: two paths agree to filter precision. HBM cost ~5.3x the f32 base
     #: image (4x overlap duplication x 1.33 mip tail) — the deliberate
     #: bandwidth-for-gathers trade; RAYEATER_SUBTILE=0 opts out.
-    win_table: jnp.ndarray | None = None    # (NWIN, 128, 32) f32
+    win_table: jnp.ndarray | None = None    # (NWIN, 128, 32) bf16
     win_dims: tuple = ()                    # ((nwy_l, nwx_l, off_l), ...)
 
     _static_fields = ("sampler", "packed_srgb", "mip_dims", "win_dims")
@@ -330,7 +331,15 @@ def _build_win_table(lvl_u8s, srgb: bool, mode: AddressMode):
             nwy * nwx, 4 * _WIN, _WIN))
         dims.append((nwy, nwx, off))
         off += nwy * nwx
-    return jnp.asarray(np.concatenate(wins)), tuple(dims)
+    # optional bf16 windows (RAYEATER_WIN_BF16=1): halves the per-step
+    # window DMA and runs the tap contraction as ONE native MXU pass
+    # instead of 3 f32 passes, at ~2^-9 relative texel error (below the
+    # u8 source quantization but above the f32 path's exact-at-
+    # magnification guarantee — test_mip_sample_at_lod0_matches_base
+    # pins the f32 default)
+    dt = (jnp.bfloat16 if os.environ.get("RAYEATER_WIN_BF16", "0") != "0"
+          else jnp.float32)
+    return jnp.asarray(np.concatenate(wins), dtype=dt), tuple(dims)
 
 
 def texture_from_file(path: str, sampler: Sampler | None = None,

@@ -92,7 +92,15 @@ class Swapchain:
         """Start async readback of ``fb``; return the oldest ready frame
         (or None while the ring fills — the first acquire of
         swapchain.zig:253-263 has the same warm-up)."""
-        encoded = self._encode(fb.color)
+        return self.present_encoded(self._encode(fb.color))
+
+    def present_encoded(self, encoded: jax.Array) -> np.ndarray | None:
+        """:meth:`present` for a frame the caller already encoded to u8
+        ON DEVICE (:func:`encode_present` fused into the frame program).
+        Through a remote-dispatch tunnel every extra jit call costs a
+        fixed RPC round-trip (~28 ms here), so folding the sRGB encode
+        into the render program halves the per-present dispatch count —
+        the device-loop samples' production shape."""
         self._start_async(encoded)
         self._inflight.append(encoded)
 

@@ -205,9 +205,15 @@ def _subtile_kernel(w0i_ref, w1i_ref, ty0_ref, fy0_ref, tx0_ref, fx0_ref,
               + jnp.where(rows == tys + 1, fys, 0.0))       # (WIN, SPIX)
         wx = (jnp.where(rows == txs, 1.0 - fxs, 0.0)
               + jnp.where(rows == txs + 1, fxs, 0.0))
+        # f32 windows run the contraction at HIGHEST (3-pass, exact at
+        # magnification); bf16 windows (RAYEATER_WIN_BF16) use one
+        # native MXU pass with bf16 weights — see
+        # resources._build_win_table for the accuracy/speed trade
+        bf16 = win_ref.dtype == jnp.bfloat16
         b = jax.lax.dot_general(
-            win_ref[0], wx, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            win_ref[0], wx.astype(jnp.bfloat16) if bf16 else wx,
+            (((1,), (0,)), ((), ())),
+            precision=(None if bf16 else jax.lax.Precision.HIGHEST),
             preferred_element_type=jnp.float32)             # (C*WIN, SPIX)
         return [jnp.sum(b[c * _WIN:(c + 1) * _WIN] * wy, axis=0)
                 for c in range(_C)]                         # C x (SPIX,)

@@ -110,3 +110,28 @@ def test_context_submit_retries(caplog):
     import jax.errors
     with pytest.raises(jax.errors.JaxRuntimeError):
         ctx.submit(dead, 1)
+
+
+def test_present_encoded_fused_path():
+    # present_encoded: the caller fused encode_present into its frame
+    # program (one dispatch per present through a remote tunnel instead
+    # of two); ring semantics identical to present()
+    import jax
+    from ray_eater_tpu.core.swapchain import encode_present
+    ctx = re.Context()
+    sc = re.Swapchain(ctx, 64, 32, image_count=2)
+
+    @jax.jit
+    def frame(v):
+        color = jnp.full((32, 64, 4), v, jnp.float32)
+        return encode_present(color, 64, 32, True)
+
+    outs = [sc.present_encoded(frame(jnp.float32(k / 4.0)))
+            for k in range(4)]
+    assert outs[0] is None and all(o is not None for o in outs[1:])
+    tail = list(sc.drain())
+    assert len(tail) == 1
+    assert sc.frames_presented == 4
+    # frames arrive oldest-first and carry the encoded values
+    np.testing.assert_array_equal(outs[1],
+                                  np.asarray(frame(jnp.float32(0.0))))

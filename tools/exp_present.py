@@ -95,6 +95,27 @@ def main():
               f"({dt / FRAMES * 1e3:.1f} ms/frame, async_ok="
               f"{sc._async_ok})", flush=True)
 
+    # -- 2b. FUSED present: the frame program emits encoded u8 directly
+    # (encode_present folded into the render jit), so each present costs
+    # ONE dispatch + the ring DMA instead of two dispatches
+    @jax.jit
+    def frame_encoded(t):
+        return encode_present(frame(t), W, H, True)
+
+    jax.block_until_ready(frame_encoded(np.float32(0.0)))
+    sc = re.Swapchain(ctx, W, H, image_count=3)
+    got = 0
+    t0 = time.perf_counter()
+    for k in range(FRAMES):
+        out = sc.present_encoded(frame_encoded(np.float32(k / 60.0)))
+        got += out is not None
+    for _ in sc.drain():
+        got += 1
+    dt = time.perf_counter() - t0
+    assert got == FRAMES
+    print(f"swapchain FUSED-encode present: {FRAMES / dt:6.1f} FPS "
+          f"({dt / FRAMES * 1e3:.1f} ms/frame)", flush=True)
+
     # -- 3. stage split -------------------------------------------------
     enc = jax.jit(lambda c: encode_present(c, W, H, True))
     color = jax.block_until_ready(frame(np.float32(0.25)))
