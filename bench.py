@@ -17,6 +17,140 @@ import numpy as np
 
 TARGET_FPS = 60.0
 
+# knobs that exist ONLY on the measured (LOD) config — the PSNR gate's
+# exact reference must differ from the measured config in exactly these
+# keys and share every other knob (so whole-splat budget channels etc.
+# are identical on both sides and the diff isolates the LOD cut). A knob
+# forgotten from resolve_knobs/render_kwargs silently weakening the gate
+# was the corner-channel lesson (BENCHLOG 2026-08-17); the split is now
+# asserted by tests/test_bench_gate.py.
+LOD_ONLY_KNOBS = ("max_splats_per_tile", "lod_seg", "return_stats")
+
+
+def resolve_knobs(scene: str, n: int, env=None) -> dict:
+    """Resolve every render knob for a bench scene from env + per-scene
+    defaults. One source of truth for the measured frame, the PSNR gate's
+    exact reference, and the warmed temporal frames (VERDICT round-4
+    weak item 5)."""
+    env = os.environ if env is None else env
+
+    # three-level binning budgets for large splats (the log-normal size
+    # tail of inria-style / densify-trained clouds needs them; harmless
+    # elsewhere). 0 disables. Sizing from the tools/exp_census.py census
+    # of this flythrough: ~192k splats/view over the 15 px level-1
+    # ceiling, of which ~168k fit the 47 px mid fan (16 slots) and ~24k
+    # need the 64-slot coarse fan — the round-2 coarse-only n//16 budget
+    # dropped 129k of them whole (52% of footprint mass: the 29 dB
+    # quality floor).
+    big_cap_default = {"inria": n // 32, "trained": n // 16}.get(scene, 0)
+    mid_cap_default = {"inria": n // 16, "trained": n // 8}.get(scene, 0)
+    # mid-LO split (15-31 px fan at half the slot cost): the round-4
+    # census puts ~140k of inria's ~188k over-15px splats under 31 px
+    midlo_cap_default = {"inria": n // 5, "trained": n // 4}.get(scene, 0)
+    big_cap = int(env.get("RAYEATER_BENCH_BIGCAP",
+                          big_cap_default)) or None
+    mid_cap = (int(env.get("RAYEATER_BENCH_MIDCAP",
+                           mid_cap_default)) or None) if big_cap else None
+    midlo_cap = (int(env.get("RAYEATER_BENCH_MIDLOCAP",
+                             midlo_cap_default)) or None) \
+        if mid_cap else None
+
+    # pair buffers sized at 4 pairs/splat (vs the exact 6/splat worst
+    # case): the flythrough needs ~3.4/splat, so rendering stays exact —
+    # verified each run via the overflow stat. 0 = exact worst-case
+    # buffers. SHARED with the gate reference: the cap drops pairs only
+    # on overflow, which the alarm (not the gate) owns.
+    capf = int(env.get("RAYEATER_BENCH_CAP_FACTOR", 4)) or None
+
+    # per-tile LOD depth cut fed from a global step pool. Per-scene
+    # defaults from the measured ladders (BENCHLOG): fog 176 (71.6 FPS @
+    # min 37.2 dB), shell 640 (32.5 @ 42.1), inria 768 @ tw=64 (the
+    # round-4 aniso ladder). RAYEATER_BENCH_MPT=0 renders exact.
+    mpt_default = {"fog": 176, "shell": 640, "inria": 768,
+                   "trained": 768}.get(scene, 384)
+    # CERTIFIED mode: pool sized at the measured saturation need ("LOD is
+    # lossless when budgets pass saturation", BENCHLOG 2026-08-17) — the
+    # recorded exact answer at production speed. The PSNR gate prints the
+    # per-frame lossless certificates; a certified run must show all-True
+    # (or min >= 50 dB).
+    certified = env.get("RAYEATER_BENCH_CERTIFIED", "0") != "0"
+    if certified:
+        mpt_default = {"fog": 384, "shell": 704, "inria": 768}.get(
+            scene, 512)
+    mpt = int(env.get("RAYEATER_BENCH_MPT", mpt_default)) or None
+
+    # composite tile width: inria-style elongated-splat scenes win at
+    # tw=64 (+39% FPS over 32 at equal mpt, tools/exp_cert.py
+    # 2026-08-19); fog/shell keep the round-3 winner 32
+    tile_w = int(env.get("RAYEATER_BENCH_TILEW",
+                         {"inria": 64, "trained": 64}.get(scene, 32)))
+
+    # K-reduction corner channel (0 = off): 2-slot level-1 fan + this
+    # many budgeted 2x2 corner-crossing splats. Wins +2.1 FPS at zero
+    # PSNR cost on inria tw=64 (tools/exp_lodseg.py 2026-08-19).
+    corner_cap = int(env.get(
+        "RAYEATER_BENCH_CORNER_CAP",
+        {"inria": n // 8, "trained": n // 8}.get(scene, 0))) or None
+
+    # exact-mode pack strategy: payload-sort (default) or the legacy
+    # row-gather (RAYEATER_BENCH_PAYLOAD=0)
+    payload = env.get("RAYEATER_BENCH_PAYLOAD", "1") != "0"
+
+    # TEMPORAL adaptive LOD (default on for fog/shell): each frame's
+    # executed-depth telemetry drives the next frame's per-tile budgets.
+    # OFF for inria-style scenes by default until the revisit-robust
+    # variant wins its A/B (see gs.update_lod_budget).
+    temporal_default = "0" if scene in ("inria", "trained") else "1"
+    temporal = bool(mpt) and (
+        env.get("RAYEATER_BENCH_TEMPORAL", temporal_default) != "0")
+
+    # multi-chunk LOD composite steps: bit-identical at any value;
+    # measured NEUTRAL on inria tw=64/mpt=768 — default stays 1
+    lod_seg = int(env.get("RAYEATER_BENCH_LODSEG", 1))
+
+    return dict(payload_sort=payload, pairs_cap_factor=capf,
+                max_splats_per_tile=mpt, big_splat_cap=big_cap,
+                mid_splat_cap=mid_cap, mid_lo_splat_cap=midlo_cap,
+                corner_cap=corner_cap, tile_w=tile_w, lod_seg=lod_seg,
+                temporal=temporal, certified=certified)
+
+
+def render_kwargs(knobs: dict, exact: bool, interpret: bool) -> dict:
+    """render_gaussians kwargs for the measured config (exact=False) or
+    the PSNR gate's exact reference (exact=True). Both derive from ONE
+    knob dict; the exact side drops exactly LOD_ONLY_KNOBS."""
+    kw = dict(payload_sort=knobs["payload_sort"],
+              pairs_cap_factor=knobs["pairs_cap_factor"],
+              big_splat_cap=knobs["big_splat_cap"],
+              mid_splat_cap=knobs["mid_splat_cap"],
+              mid_lo_splat_cap=knobs["mid_lo_splat_cap"],
+              corner_cap=knobs["corner_cap"],
+              tile_w=knobs["tile_w"],
+              interpret=interpret)
+    if exact:
+        # the exact reference shares the budget channels and the pair cap
+        # (their overflow is alarmed separately — it is invisible to the
+        # PSNR diff by construction) and differs ONLY in the LOD knobs
+        kw["pairs_cap_factor"] = None
+    else:
+        kw.update(max_splats_per_tile=knobs["max_splats_per_tile"],
+                  lod_seg=knobs["lod_seg"], return_stats=True)
+    return kw
+
+
+def flythrough_camera(t, W: int, H: int):
+    """The bench flythrough camera at time t (seconds). Shared by the
+    measured window, the warmed gate frames, and the exact reference."""
+    import jax.numpy as jnp
+
+    from ray_eater_tpu import rmath
+    ang = rmath.radians(30.0) * t
+    eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
+                     2.5 * jnp.sin(ang)])
+    view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
+    proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
+    return view, proj
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -26,7 +160,6 @@ def main():
     import jax
 
     import ray_eater_tpu as re
-    from ray_eater_tpu import rmath
     from ray_eater_tpu.models.gaussians import (inria_cloud, random_cloud,
                                                 shell_cloud)
 
@@ -37,11 +170,9 @@ def main():
     frames = int(os.environ.get("RAYEATER_BENCH_FRAMES", 60))
     res = os.environ.get("RAYEATER_BENCH_RES", "1920x1080")
     # "fog" (default): the volumetric random-cube flythrough (BASELINE
-    # config). "shell": surface-like tangent-disk scene — NOTE that with
-    # 3-6 px splats its per-tile lists run 2000+ deep, so the LOD pool
-    # must be raised (RAYEATER_BENCH_MPT) or the render made exact
-    # (RAYEATER_BENCH_MPT=0) for fidelity; the PSNR gate below prints the
-    # actual quality either way (BENCHLOG round 2).
+    # config). "shell": surface-like tangent-disk scene. "inria":
+    # log-normal size / anisotropic trained-scene statistics. "trained":
+    # a cloud reconstructed by samples/gs_trainer.py --adc --save-ply.
     scene = os.environ.get("RAYEATER_BENCH_SCENE", "fog")
     W, H = (int(v) for v in res.split("x"))
 
@@ -54,8 +185,6 @@ def main():
     elif scene == "inria":
         cloud = inria_cloud(n, seed=1)
     elif scene == "trained":
-        # training→rendering closed loop: flythrough-render a cloud
-        # reconstructed by samples/gs_trainer.py --adc --save-ply
         from ray_eater_tpu.models.gaussians import load_ply
         cloud = load_ply(os.environ["RAYEATER_BENCH_PLY"])
         n = cloud.num_splats
@@ -63,123 +192,28 @@ def main():
         cloud = random_cloud(n, seed=1, extent=1.0,
                              scale_range=(0.004, 0.02))
 
-    # three-level binning budgets for large splats (the log-normal size
-    # tail of inria-style / densify-trained clouds needs them; harmless
-    # elsewhere). 0 disables. Sizing from the tools/exp_inria.py census
-    # of this flythrough: ~192k splats/view over the 15 px level-1
-    # ceiling, of which ~168k fit the 47 px mid fan (16 slots) and ~24k
-    # need the 64-slot coarse fan — the round-2 coarse-only n//16 budget
-    # dropped 129k of them whole (52% of footprint mass: the 29 dB
-    # quality floor).
-    big_cap_default = {"inria": n // 32, "trained": n // 16}.get(scene, 0)
-    mid_cap_default = {"inria": n // 16, "trained": n // 8}.get(scene, 0)
-    # mid-LO split (15-31 px fan at half the slot cost): the round-4
-    # census puts ~140k of inria's ~188k over-15px splats under 31 px
-    midlo_cap_default = {"inria": n // 5, "trained": n // 4}.get(scene, 0)
-    big_cap = int(os.environ.get("RAYEATER_BENCH_BIGCAP",
-                                 big_cap_default)) or None
-    mid_cap = (int(os.environ.get("RAYEATER_BENCH_MIDCAP",
-                                  mid_cap_default)) or None) \
-        if big_cap else None
-    midlo_cap = (int(os.environ.get("RAYEATER_BENCH_MIDLOCAP",
-                                    midlo_cap_default)) or None) \
-        if mid_cap else None
-
-    # camera math lives INSIDE the jitted frame: eager rmath calls are each
-    # a tiny device dispatch — through this tunnel that costs ~100 ms/frame.
-    # The cloud is a jit *argument* (not a closure constant) so its 56 MB
-    # live in HBM once instead of being baked into the executable as XLA
-    # constants.
-    # pair buffers sized at 4 pairs/splat (vs the exact 6/splat worst
-    # case): the flythrough needs ~3.4/splat, so rendering stays exact —
-    # verified each run via the overflow stat printed below. Override with
-    # RAYEATER_BENCH_CAP_FACTOR (0 = exact worst-case buffers).
-    capf = int(os.environ.get("RAYEATER_BENCH_CAP_FACTOR", 4)) or None
-    # per-tile LOD depth cut fed from a 384-average global step pool
-    # (gs._bin_splats: pooled depth harmonization + proportional global
-    # scaling — same static cost as the round-2 count cap, fewer
-    # artifacts). RAYEATER_BENCH_MPT=0 renders exact; the PSNR gate below
-    # prints the fidelity of whatever config runs. Per-scene defaults
-    # from the round-3 ladder (BENCHLOG): fog 176 (71.6 FPS @ min
-    # 37.2 dB), shell 640 (32.5 FPS @ min 42.1 dB); 384 elsewhere.
-    # inria 768 @ tw=64: the round-4 aniso ladder (tools/exp_cert.py
-    # 2026-08-19: 512: 31.5 FPS @ 32.9 dB, 768: 24.2 @ min 38.0) — 768
-    # is the cheapest rung clearing the >=35 dB min-PSNR bar
-    mpt_default = {"fog": 176, "shell": 640, "inria": 768,
-                   "trained": 768}.get(scene, 384)
-    # CERTIFIED mode: per-scene pool sized at the measured saturation
-    # need (the "LOD is lossless when budgets pass saturation" insight,
-    # BENCHLOG 2026-08-17) — the recorded exact answer at production
-    # speed instead of the wasteful worst-case sizing (VERDICT round-3
-    # task 5). The PSNR gate below prints the per-frame lossless
-    # certificates; a certified run must show all-True (or min >= 50 dB).
-    certified = os.environ.get("RAYEATER_BENCH_CERTIFIED", "0") != "0"
-    if certified:
-        mpt_default = {"fog": 384, "shell": 704, "inria": 768}.get(
-            scene, 512)
-    mpt = int(os.environ.get("RAYEATER_BENCH_MPT", mpt_default)) or None
-    # composite tile width (footprint-tight compositing knob): narrower
-    # tiles make per-pair cost track splat footprint instead of tile
-    # area, and at an equal step-pool budget the LOD depth cut is
-    # spatially 4x tighter (BENCHLOG round 3 tile-width A/B)
-    # inria-style elongated-splat scenes win at tw=64 (+39% FPS over 32
-    # at equal mpt, tools/exp_cert.py 2026-08-19: halved tile count beats
-    # the wider-apron cost); fog/shell keep the round-3 winner 32
-    tile_w = int(os.environ.get(
-        "RAYEATER_BENCH_TILEW",
-        {"inria": 64, "trained": 64}.get(scene, 32)))
-    # K-reduction corner channel (0 = off): 2-slot level-1 fan + this
-    # many budgeted 2x2 corner-crossing splats (gs.render_gaussians).
-    # Wins +2.1 FPS at zero PSNR cost on inria tw=64
-    # (tools/exp_lodseg.py 2026-08-19); off elsewhere until measured.
-    corner_cap = int(os.environ.get(
-        "RAYEATER_BENCH_CORNER_CAP",
-        {"inria": n // 8, "trained": n // 8}.get(scene, 0))) or None
-    # exact-mode pack strategy: payload-sort (default) or the legacy
-    # row-gather (RAYEATER_BENCH_PAYLOAD=0) — escape hatch while the
-    # payload program's device-loop behavior is validated on hardware
-    payload = os.environ.get("RAYEATER_BENCH_PAYLOAD", "1") != "0"
-    # TEMPORAL adaptive LOD (default on for fog/shell): each frame's
-    # executed-depth telemetry drives the next frame's per-tile budgets,
-    # so early-saturating tiles release step-pool capacity to deep ones.
-    # OFF for inria-style scenes: the dry-heavy allocation regime makes
-    # exec-driven budgets a rich-get-richer feedback that freezes the
-    # warm-up distribution (static beats temporal by 3-5 dB at equal
-    # FPS — tools/exp_cert.py 2026-08-19; see gs.update_lod_budget).
-    temporal_default = "0" if scene in ("inria", "trained") else "1"
-    temporal = bool(mpt) and (
-        os.environ.get("RAYEATER_BENCH_TEMPORAL",
-                       temporal_default) != "0")
-    # multi-chunk LOD composite steps (gs.render_gaussians lod_seg):
-    # bit-identical images at any value. Measured NEUTRAL on inria
-    # tw=64/mpt=768 (22.2 vs 22.3 FPS, tools/exp_lodseg.py): unlike
-    # exact mode's mostly-skipped steps, LOD steps run full bodies, so
-    # sequencing hides behind compute — default stays 1
-    lod_seg = int(os.environ.get("RAYEATER_BENCH_LODSEG", 1))
+    knobs = resolve_knobs(scene, n)
+    mpt = knobs["max_splats_per_tile"]
+    temporal = knobs["temporal"]
+    tile_w = knobs["tile_w"]
+    log("knobs: " + " ".join(f"{k}={v}" for k, v in knobs.items()))
 
     import jax.numpy as jnp
     from jax import lax
 
     ntx, nty = num_tiles(W, H, tile_w=tile_w)
+    kw_meas = render_kwargs(knobs, exact=False, interpret=interpret)
+    kw_exact = render_kwargs(knobs, exact=True, interpret=interpret)
 
+    # camera math lives INSIDE the jitted frame: eager rmath calls are
+    # each a tiny device dispatch — through this tunnel that costs
+    # ~100 ms/frame. The cloud is a jit *argument* (not a closure
+    # constant) so its 56 MB live in HBM once instead of being baked
+    # into the executable as XLA constants.
     def one_frame(c, t, budget=None):
-        ang = rmath.radians(30.0) * t
-        eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
-                         2.5 * jnp.sin(ang)])
-        view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
-        proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
+        view, proj = flythrough_camera(t, W, H)
         return render_gaussians(c, view, proj, W, H,
-                                payload_sort=payload,
-                                pairs_cap_factor=capf,
-                                max_splats_per_tile=mpt,
-                                big_splat_cap=big_cap,
-                                mid_splat_cap=mid_cap,
-                                mid_lo_splat_cap=midlo_cap,
-                                corner_cap=corner_cap,
-                                lod_budget=budget,
-                                return_stats=True,
-                                interpret=interpret,
-                                tile_w=tile_w, lod_seg=lod_seg)
+                                lod_budget=budget, **kw_meas)
 
     frame_fn = jax.jit(one_frame)
     # two channels: [floor want, dry need] — see gs.update_lod_budget
@@ -190,8 +224,7 @@ def main():
     # lax.fori_loop dispatch (each frame forced through the carry), the
     # production shape for continuous rendering (samples' --device-loop).
     # Per-dispatch tunnel round-trip is a FIXED ~28 ms regardless of the
-    # program (measured: empty 1000-iter device loop == empty 1-iter loop
-    # == 28 ms; BENCHLOG round 2) — per-frame dispatch would tax every
+    # program (BENCHLOG round 2) — per-frame dispatch would tax every
     # frame with it.
     @jax.jit
     def window_fn(c, t0, b0):
@@ -214,7 +247,7 @@ def main():
             if mpt else "buffer overflow (0 == exact)")
     log(f"compile+first frame: {time.perf_counter() - t0:.1f}s; "
         f"overflow_pairs={int(stats['overflow_pairs'])} = {note}")
-    if big_cap:
+    if knobs["big_splat_cap"]:
         # whole-splat budget ALARM independent of the PSNR-gate block: an
         # exact-mode run (MPT=0) with caps set must still surface budget
         # drops — the exact blind spot the alarm targets (ADVICE round 3)
@@ -227,27 +260,15 @@ def main():
     if mpt and os.environ.get("RAYEATER_BENCH_PSNR", "1") != "0":
         # quality gate: LOD render vs the exact render on SAMPLED frames
         # across the whole path — the recorded number is the WORST of
-        # them, so a regression on any mid-path view can't ship unmeasured
-        # (VERDICT round-2 weak item 7). Temporal budgets are warmed by a
-        # short device-resident lead-in ENDING at the sampled view (the
-        # production one-frame-stale shape) — reusing one window-converged
-        # state for every sample mis-matches mid-path views and under-
-        # reports quality by 40+ dB (BENCHLOG round 3).
+        # them, so a regression on any mid-path view can't ship
+        # unmeasured. Temporal budgets are warmed by a short
+        # device-resident lead-in ENDING at the sampled view (the
+        # production one-frame-stale shape) — reusing one
+        # window-converged state for every sample mis-matches mid-path
+        # views and under-reports quality by 40+ dB (BENCHLOG round 3).
         def exact_frame(c, t):
-            ang = rmath.radians(30.0) * t
-            eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
-                             2.5 * jnp.sin(ang)])
-            view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
-            proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
-            return render_gaussians(c, view, proj, W, H,
-                                    payload_sort=payload,
-                                    pairs_cap_factor=None,
-                                    big_splat_cap=big_cap,
-                                    mid_splat_cap=mid_cap,
-                                    mid_lo_splat_cap=midlo_cap,
-                                    corner_cap=corner_cap,
-                                    interpret=interpret,
-                                    tile_w=tile_w)
+            view, proj = flythrough_camera(t, W, H)
+            return render_gaussians(c, view, proj, W, H, **kw_exact)
 
         exact_fn = jax.jit(exact_frame)
         warm = int(os.environ.get("RAYEATER_BENCH_PSNR_WARMUP", 8))
@@ -285,14 +306,13 @@ def main():
                "[" + " ".join(f"{p:.1f}" for p in psnrs) + "]"))
         log("LOD pairs dropped per sampled frame: %s" % drops)
         log("saturation-certified lossless frames: %s" % certs)
-        if big_cap:
+        if knobs["big_splat_cap"]:
             # budget-channel ALARM: the PSNR gate's exact reference
             # shares the big/mid caps, so whole-splat budget overflow is
             # INVISIBLE to it (the corner-channel lesson, BENCHLOG
             # 2026-08-17) — any nonzero count here means raise the caps
             log("big/mid-splat budget overflow per sampled frame "
                 "(MUST be 0 — invisible to the PSNR gate): %s" % bigdrops)
-
 
     # best of three measurement windows: throughput through the device
     # tunnel varies with relay load, so a single window under-reports
