@@ -108,11 +108,20 @@ def resolve_knobs(scene: str, n: int, env=None) -> dict:
     # measured NEUTRAL on inria tw=64/mpt=768 — default stays 1
     lod_seg = int(env.get("RAYEATER_BENCH_LODSEG", 1))
 
+    # dry-tile floor treatment for the temporal budgets (see
+    # gs.update_lod_budget): "static" is the revisit-robust variant for
+    # dry-heavy trained scenes; fog/shell keep the measured round-3
+    # winner "jump"
+    dry_floor = env.get("RAYEATER_BENCH_DRYFLOOR",
+                        {"inria": "static",
+                         "trained": "static"}.get(scene, "jump"))
+
     return dict(payload_sort=payload, pairs_cap_factor=capf,
                 max_splats_per_tile=mpt, big_splat_cap=big_cap,
                 mid_splat_cap=mid_cap, mid_lo_splat_cap=midlo_cap,
                 corner_cap=corner_cap, tile_w=tile_w, lod_seg=lod_seg,
-                temporal=temporal, certified=certified)
+                temporal=temporal, certified=certified,
+                dry_floor=dry_floor)
 
 
 def render_kwargs(knobs: dict, exact: bool, interpret: bool) -> dict:
@@ -196,6 +205,7 @@ def main():
     mpt = knobs["max_splats_per_tile"]
     temporal = knobs["temporal"]
     tile_w = knobs["tile_w"]
+    dry_floor = knobs["dry_floor"]
     log("knobs: " + " ".join(f"{k}={v}" for k, v in knobs.items()))
 
     import jax.numpy as jnp
@@ -234,7 +244,8 @@ def main():
                                    budget if temporal else None)
             nb = (update_lod_budget(stats["tile_exec"], mpt, ntx, nty,
                                     stats.get("tile_kept"),
-                                    stats.get("tile_count"))
+                                    stats.get("tile_count"),
+                                    dry_floor=dry_floor)
                   if temporal else budget)
             return acc + img[0, 0, 0] * 1e-12, nb
         return lax.fori_loop(0, frames, body, (t0, b0))
@@ -284,7 +295,8 @@ def main():
                     c, t - (warm - i).astype(jnp.float32) / 60.0, budget)
                 return update_lod_budget(stats["tile_exec"], mpt, ntx,
                                          nty, stats.get("tile_kept"),
-                                         stats.get("tile_count"))
+                                         stats.get("tile_count"),
+                                         dry_floor=dry_floor)
             b = lax.fori_loop(0, warm, body, budget0)
             img, stats = one_frame(c, t, b)
             return (img, stats["overflow_pairs"], stats["lossless"],

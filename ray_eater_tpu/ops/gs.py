@@ -1992,7 +1992,8 @@ def num_tiles(width: int, height: int,
 
 def update_lod_budget(tile_exec, max_splats_per_tile: int,
                       ntx: int, nty: int,
-                      tile_kept=None, tile_count=None):
+                      tile_kept=None, tile_count=None,
+                      dry_floor: str = "jump"):
     """Next-frame per-tile LOD budget from this frame's executed depth
     (``tile_exec`` stat of :func:`render_gaussians`): 3x3-max-pooled over
     the tile grid (camera motion shifts content by tiles between frames),
@@ -2021,7 +2022,27 @@ def update_lod_budget(tile_exec, max_splats_per_tile: int,
       instead of ∝count (which cost 37→26 dB when tried raw — BENCHLOG
       round 3);
     * its full list size in a second DRY-NEED channel (output shape
-      (ntiles, 2)) that _bin_splats funds from pool SURPLUS only."""
+      (ntiles, 2)) that _bin_splats funds from pool SURPLUS only.
+
+    ``dry_floor`` selects the dry-tile FLOOR-channel treatment:
+
+    * ``"jump"`` (the round-3 design): min(count, _DRY_FLOOR_CAP·mpt) —
+      recovers a starved tile in one frame, but in dry-HEAVY scenes
+      (inria: ~1750 of 2040 tiles dry) the exec-derived floors of the
+      rest freeze the warm-up distribution (rich-get-richer: everyone
+      grows 1.5x, the proportional pool scale-down cancels it) — static
+      budgets beat it by 3-5 dB at equal FPS (tools/exp_cert.py
+      2026-08-19).
+    * ``"static"`` (revisit-robust): dry tiles' floor REVERTS to the
+      uniform static baseline ``max_splats_per_tile`` every frame — for
+      a dry tile exec is allocation-bounded, not a need signal, so no
+      feedback loop can form through it; differentiation comes from the
+      surplus-funded need channel plus the depth-cut desire machinery
+      that still runs on top of the budget in _bin_splats. Saturated
+      tiles keep the exec-driven shrink (their exec is set by
+      transmittance physics, not by allocation), so an all-dry frame
+      degrades exactly to the static allocation instead of a frozen
+      one."""
 
     def pool3(a):
         ap = jnp.pad(a.reshape(nty, ntx), 1, mode="edge")
@@ -2037,8 +2058,12 @@ def update_lod_budget(tile_exec, max_splats_per_tile: int,
         return b
     e = tile_exec.astype(jnp.int32)
     dry = (tile_kept > 0) & (e >= tile_kept) & (tile_kept < tile_count)
-    jump = jnp.minimum(tile_count, _DRY_FLOOR_CAP * max_splats_per_tile)
-    b = jnp.maximum(b, jnp.where(dry, jump, 0))
+    if dry_floor == "static":
+        b = jnp.where(dry, max_splats_per_tile, b)
+    else:
+        jump = jnp.minimum(tile_count,
+                           _DRY_FLOOR_CAP * max_splats_per_tile)
+        b = jnp.maximum(b, jnp.where(dry, jump, 0))
     # need is NOT 3x3-pooled: pooling inflated sum(extra) ~9x and spread
     # the surplus so thin the genuinely starved tiles gained little
     # (floor channel pooling already covers camera motion)

@@ -651,6 +651,47 @@ def test_lod_budget_dry_tiles_fill_need_channel():
     assert b2[0, 0] == int(500 * 1.5) + gs.CHUNK
 
 
+def test_lod_budget_static_dry_floor_is_revisit_robust():
+    # dry_floor="static": a DRY tile's floor channel reverts to the
+    # uniform static baseline every frame (exec is allocation-bounded
+    # for dry tiles — feeding it back freezes the warm-up distribution
+    # on dry-heavy scenes); saturated tiles keep the exec-driven shrink,
+    # and the dry need channel is unchanged
+    ntx, nty = 4, 2
+    nt = ntx * nty
+    exec_ = np.zeros(nt, np.int32)
+    kept = np.zeros(nt, np.int32)
+    count = np.zeros(nt, np.int32)
+    exec_[0], kept[0], count[0] = 500, 500, 8000    # ran dry
+    exec_[5], kept[5], count[5] = 300, 500, 8000    # saturated at 300
+    mpt = 384
+    b = np.asarray(gs.update_lod_budget(
+        jnp.asarray(exec_), mpt, ntx, nty,
+        jnp.asarray(kept), jnp.asarray(count), dry_floor="static"))
+    floor = b[:, 0].reshape(nty, ntx)
+    need = b[:, 1].reshape(nty, ntx)
+    # dry tile: STATIC floor, not a jump and not frozen 1.5x exec
+    assert floor[0, 0] == mpt
+    # saturated tile keeps the pooled exec-driven budget (shrinks below
+    # mpt when saturation is shallow — that's the surplus source);
+    # tile 5's 3x3 pool sees tile 0's exec=500
+    assert floor[1, 1] == int(500 * 1.5) + gs.CHUNK
+    # a tile FAR from both (no dry/sat neighbors) shrinks toward CHUNK
+    assert floor[1, 3] == gs.CHUNK
+    # need channel identical to the jump mode
+    assert need[0, 0] == 8000 and need[1, 1] == 0
+    # FIXED POINT under an all-dry frame: feeding the static-floor
+    # allocation's own telemetry back must reproduce the same floors
+    # (no drift — the freeze failure mode is structurally impossible)
+    exec2 = np.minimum(count, mpt)      # every tile walks its grant dry
+    b2 = np.asarray(gs.update_lod_budget(
+        jnp.asarray(exec2), mpt, ntx, nty,
+        jnp.asarray(np.minimum(count, mpt)), jnp.asarray(count),
+        dry_floor="static"))
+    dry_tiles = (np.minimum(count, mpt) < count) & (count > 0)
+    assert (b2[dry_tiles, 0] == mpt).all()
+
+
 def test_corner_channel_matches_full_fan():
     # K-reduction: the 2-slot fan + budgeted 2x2 corner channel must
     # reproduce the 4-slot fan bit-exactly when the budget is generous
