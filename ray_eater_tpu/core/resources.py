@@ -122,6 +122,19 @@ class Sampler:
     address_mode: AddressMode = AddressMode.MIRRORED_REPEAT
     mipmap: bool = False
     max_anisotropy: float = 1.0
+    #: use the zero-gather subtile window sampler when the texture has a
+    #: window table (ops.sampling._sample_subtile); False forces the
+    #: per-pixel gather mip path. RAYEATER_SUBTILE=0 is a global
+    #: override for A/Bs.
+    subtile: bool = True
+    #: per-frame budget for the BINDING-subtile gather fallback, as a
+    #: fraction of the frame's subtiles (0 disables): subtiles whose
+    #: per-pixel LOD range escapes the footprint-fitted window level
+    #: (anisotropic/minified regions — the exp_raster4 C-vs-D 39.9 dB
+    #: term) re-sample through the per-pixel gather path, worst
+    #: offenders first. 1/8 covers the 10k-tri scene's binding set with
+    #: ~3x headroom (tests/test_sampling.py).
+    subtile_fallback: float = 0.125
 
 
 @pytree_dataclass

@@ -67,6 +67,7 @@ def sample(tex: Texture, uv: jnp.ndarray,
             and uv.ndim >= 3):
         if (getattr(tex, "win_table", None) is not None and uv.ndim == 3
                 and min(uv.shape[0], uv.shape[1]) >= _SUB
+                and s.subtile
                 and os.environ.get("RAYEATER_SUBTILE", "1") != "0"):
             return _sample_subtile(tex, uv, valid=valid)
         return _sample_mip(tex, uv)
@@ -428,6 +429,42 @@ def _sample_subtile(tex, uv: jnp.ndarray,
     # ---- un-subtile (nts, C, NSUB*SPIX) -> (H, W, 4) ------------------
     flat = out.reshape(nts, _C, _NSUB, _SPIX).transpose(
         0, 2, 1, 3).reshape(nsp, _C, _SPIX)[:ns]
+
+    # ---- BINDING-subtile gather fallback ------------------------------
+    # A subtile is BINDING when its window-fitted tap range [lsub, l1]
+    # does not cover its per-pixel LOD range: pixels wanting finer than
+    # lsub (the 32-texel footprint-fit cap bound — anisotropic/minified
+    # regions, the exp_raster4 C-vs-D 39.9 dB term) render over-blurred,
+    # pixels wanting coarser than l1 render aliased (the frac clip).
+    # Those subtiles re-sample through the per-pixel gather path under a
+    # static budget of ceil(subtile_fallback * ns) subtiles, WORST
+    # offenders first (severity-sorted), and replace their kernel rows
+    # via one row gather + select — no scatter. Budget overflow degrades
+    # to the plain subtile answer (never worse than fallback-off).
+    fb_frac = float(os.environ.get("RAYEATER_SUBTILE_FB",
+                                   s.subtile_fallback))
+    if fb_frac > 0.0:
+        nb = min(ns, max(8, -(-int(ns * fb_frac) // 8) * 8))
+        lod_lo = jnp.min(lods, axis=1)
+        lod_hi = jnp.max(lods, axis=1)
+        sev = (jnp.maximum(lsub.astype(jnp.float32) - lod_lo, 0.0)
+               + jnp.maximum(lod_hi - l1.astype(jnp.float32), 0.0))
+        bind = sev > 0.01
+        sel = jnp.argsort(-sev)[:nb].astype(jnp.int32)
+        cus_s = jnp.take(cus, sel, axis=0)          # (nb, SPIX)
+        cvs_s = jnp.take(cvs, sel, axis=0)
+        lod_s = jnp.take(lods, sel, axis=0)
+        l0s = jnp.floor(lod_s).astype(jnp.int32)
+        frs = (lod_s - l0s.astype(jnp.float32))[..., None]
+        a = _mip_tap(tex, cus_s, cvs_s, l0s)
+        b = _mip_tap(tex, cus_s, cvs_s, jnp.minimum(l0s + 1, nlev - 1))
+        fb = (a * (1.0 - frs) + b * frs).transpose(0, 2, 1)  # (nb,C,SPIX)
+        slot = jnp.zeros((ns,), jnp.int32).at[sel].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        use = jnp.zeros((ns,), bool).at[sel].set(
+            jnp.take(bind, sel), mode="drop")
+        flat = jnp.where(use[:, None, None],
+                         jnp.take(fb, slot, axis=0), flat)
     img = flat.reshape(Hp // _SUB, Wp // _SUB, _C, _SUB, _SUB).transpose(
         0, 3, 1, 4, 2).reshape(Hp, Wp, _C)
     return img[:H, :W]

@@ -239,3 +239,58 @@ def test_subtile_sampler_mask_noop_when_fully_covered():
     b = np.asarray(sp._sample_subtile(
         t, uv, valid=jnp.ones(uv.shape[:2], bool)))
     np.testing.assert_allclose(a, b, atol=3e-6)
+
+
+def test_subtile_binding_fallback_closes_lod_gap():
+    # BINDING subtiles (window footprint-fit cap forces a coarser level
+    # than the per-pixel LOD wants) re-sample through the gather path
+    # under the subtile_fallback budget — with a generous budget the
+    # subtile sampler must converge to the per-pixel gather path far
+    # beyond what the capped path reaches
+    import dataclasses
+
+    import ray_eater_tpu.ops.sampling as sp
+    rng = np.random.RandomState(5)
+    tex_u8 = (rng.rand(64, 64, 4) * 255).astype(np.uint8)
+
+    def run(fb):
+        smip = Sampler(filter=Filter.LINEAR,
+                       address_mode=AddressMode.REPEAT, mipmap=True,
+                       subtile_fallback=fb)
+        t = texture_from_array(tex_u8, smip, srgb=False)
+        uv = jnp.asarray(_uv_perspective())
+        got = np.asarray(sp._sample_subtile(t, uv))
+        want = np.asarray(sp._sample_mip(t, uv))
+        mse = float(np.mean((got - want) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    p_off = run(0.0)
+    p_full = run(1.0)
+    assert p_full > p_off + 10.0, (p_off, p_full)
+    # with the whole frame budgeted the two paths agree to float noise
+    # (identical taps on identical u8 mip texels)
+    assert p_full > 60.0, p_full
+    # the default 1/8 budget already covers this scene's binding set
+    p_def = run(0.125)
+    assert p_def > p_off + 10.0, (p_off, p_def)
+
+
+def test_subtile_fallback_budget_overflow_degrades_gracefully():
+    # a tiny budget must never be WORSE than fallback-off (overflowing
+    # subtiles keep their kernel rows; the budget takes worst-first)
+    import ray_eater_tpu.ops.sampling as sp
+    rng = np.random.RandomState(7)
+    tex_u8 = (rng.rand(64, 64, 4) * 255).astype(np.uint8)
+    uv = jnp.asarray(_uv_perspective())
+
+    def run(fb):
+        smip = Sampler(filter=Filter.LINEAR,
+                       address_mode=AddressMode.REPEAT, mipmap=True,
+                       subtile_fallback=fb)
+        t = texture_from_array(tex_u8, smip, srgb=False)
+        got = np.asarray(sp._sample_subtile(t, uv))
+        want = np.asarray(sp._sample_mip(t, uv))
+        mse = float(np.mean((got - want) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    assert run(0.01) >= run(0.0) - 0.1
