@@ -121,7 +121,7 @@ def level2_max_radius(tile_w: int = TILE_W) -> int:
 
 
 #: mid (level-1.5) fan vertical span: 4 tiles → 47 px radius ceiling.
-#: Trained-scene radius histograms are log-normal (tools/exp_inria.py:
+#: Trained-scene radius histograms are log-normal (tools/exp_census.py:
 #: of ~192k splats over the 15 px level-1 ceiling, ~168k are <= 47 px),
 #: so routing them through the 64-slot KX2×KY2 fan wastes 4x pairs —
 #: the 16-slot mid fan carries the bulk and the coarse fan only the
@@ -142,7 +142,7 @@ def level_mid_max_radius(tile_w: int = TILE_W) -> int:
 
 
 #: mid-LO fan vertical span: 3 tiles → 31 px radius ceiling. The inria
-#: census (tools/exp_lod.py 2026-08-19) puts ~140k of the ~188k over-15px
+#: census (tools/exp_census.py 2026-08-19) puts ~140k of the ~188k over-15px
 #: splats under 31 px and only ~27k in (31, 47] — so a 6-slot (tw=64)
 #: mid-lo fan carries the bulk at HALF the 12-slot mid fan's sort-slot
 #: cost (~1.2M static slots saved per frame at the bench caps).
@@ -779,7 +779,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         # mid <= rm < coarse): trained scenes' log-normal radius tails
         # put ~85% of over-r1 splats under the 47 px mid ceiling, where
         # the 16-slot fan costs 4x fewer sort slots than the 64-slot
-        # coarse fan (tools/exp_inria.py — the round-3 inria 29 dB floor
+        # coarse fan (tools/exp_census.py — the round-3 inria 29 dB floor
         # was 129k of 192k big splats dropped whole by a coarse-only
         # n/16 budget).
         if mid_cap is not None:
@@ -1793,7 +1793,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     through a 16-slot _kxm×KY_M fan under this budget, and only true
     giants (>47 px) pay the 64-slot coarse fan. Trained-scene radius
     tails are log-normal — ~85% of over-15 px splats fit under 47 px
-    (tools/exp_inria.py) — so for INRIA-like scenes size
+    (tools/exp_census.py) — so for INRIA-like scenes size
     ``mid_splat_cap≈N//5`` and ``big_splat_cap≈N//32``: 4x cheaper in
     sort slots than a coarse-only budget covering the same splats, and
     a coarse-only N//16 budget silently dropped 52% of the footprint
