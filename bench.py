@@ -24,7 +24,8 @@ TARGET_FPS = 60.0
 # forgotten from resolve_knobs/render_kwargs silently weakening the gate
 # was the corner-channel lesson (BENCHLOG 2026-08-17); the split is now
 # asserted by tests/test_bench_gate.py.
-LOD_ONLY_KNOBS = ("max_splats_per_tile", "lod_seg", "return_stats")
+LOD_ONLY_KNOBS = ("max_splats_per_tile", "lod_seg", "lod_tail_decim",
+                  "return_stats")
 
 
 def resolve_knobs(scene: str, n: int, env=None) -> dict:
@@ -108,6 +109,15 @@ def resolve_knobs(scene: str, n: int, env=None) -> dict:
     # measured NEUTRAL on inria tw=64/mpt=768 — default stays 1
     lod_seg = int(env.get("RAYEATER_BENCH_LODSEG", 1))
 
+    # DECIMATED-TAIL composite (gs.render_gaussians lod_tail_decim): a
+    # second step pool averaging this many pairs/tile extends each
+    # tile's sorted prefix at quarter pixel cost. 0 = off. Per-scene
+    # defaults from the exp_tail ladder (BENCHLOG).
+    tail = int(env.get("RAYEATER_BENCH_TAIL",
+                       {"inria": 0, "trained": 0}.get(scene, 0))) or None
+    if tail is not None and not mpt:
+        tail = None
+
     # dry-tile floor treatment for the temporal budgets (see
     # gs.update_lod_budget): "static" is the revisit-robust variant for
     # dry-heavy trained scenes; fog/shell keep the measured round-3
@@ -120,8 +130,8 @@ def resolve_knobs(scene: str, n: int, env=None) -> dict:
                 max_splats_per_tile=mpt, big_splat_cap=big_cap,
                 mid_splat_cap=mid_cap, mid_lo_splat_cap=midlo_cap,
                 corner_cap=corner_cap, tile_w=tile_w, lod_seg=lod_seg,
-                temporal=temporal, certified=certified,
-                dry_floor=dry_floor)
+                lod_tail_decim=tail, temporal=temporal,
+                certified=certified, dry_floor=dry_floor)
 
 
 def render_kwargs(knobs: dict, exact: bool, interpret: bool) -> dict:
@@ -143,7 +153,9 @@ def render_kwargs(knobs: dict, exact: bool, interpret: bool) -> dict:
         kw["pairs_cap_factor"] = None
     else:
         kw.update(max_splats_per_tile=knobs["max_splats_per_tile"],
-                  lod_seg=knobs["lod_seg"], return_stats=True)
+                  lod_seg=knobs["lod_seg"],
+                  lod_tail_decim=knobs["lod_tail_decim"],
+                  return_stats=True)
     return kw
 
 

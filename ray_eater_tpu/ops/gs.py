@@ -80,6 +80,15 @@ LOD_DESIRE_CAP = 32
 #: frame, small enough that an all-dry scene stays ≈ the balanced static
 #: allocation
 _DRY_FLOOR_CAP = 4
+#: decimation factor of the lod_tail_decim tail composite (2 = one
+#: sample per 2x2 pixel quad, quarter cost). Module-level so tests can
+#: pin 1 (bit-near-exact equivalence) — production stays 2.
+_TAIL_D = 2
+#: multi-chunk steps of the tail composite: the tail's per-step body is
+#: decim²-smaller than the head's, so the fixed ~0.66 us/step sequencing
+#: cost dominates at nseg=1 (measured: tail pairs priced ~equal to head
+#: pairs instead of 4x cheaper, tools/exp_tail.py 2026-08-20)
+_TAIL_SEG = 8
 _ALPHA_MIN = 1.0 / 255.0   # 3DGS convention: skip ultra-faint contributions
 _ALPHA_MAX = 0.99
 _T_EPS = 1e-4              # 3DGS termination: tile saturated when T < eps
@@ -638,6 +647,138 @@ def _compact_channels(masks, caps):
     return out
 
 
+def _pool_grant(floor, desired, pool_pairs):
+    """FLOOR-GUARANTEED proportional pool allocation (pre-snap): every
+    tile first receives its floor (scaled down only if the floors alone
+    oversubscribe the pool), and the surplus funds the extra above it
+    proportionally. The former all-proportional scale let a few
+    ultra-deep tiles starve everyone (the shell silhouette failure,
+    tools/exp_shell.py)."""
+    fsum = jnp.sum(floor).astype(jnp.float32)
+    fscale = jnp.minimum(1.0, pool_pairs / jnp.maximum(fsum, 1.0))
+    floor = jnp.minimum((floor.astype(jnp.float32) * fscale)
+                        .astype(jnp.int32), floor)
+    extra = desired - floor
+    spare = (pool_pairs - jnp.sum(floor)).astype(jnp.float32)
+    escale = jnp.clip(spare / jnp.maximum(
+        jnp.sum(extra), 1).astype(jnp.float32), 0.0, 1.0)
+    return floor + (extra.astype(jnp.float32) * escale).astype(jnp.int32)
+
+
+def _block_snap(kept, desired, cap_steps, ntiles):
+    """BLOCK SNAP (largest remainder): grant whole CHUNK-pair blocks so
+    sum(ceil(kept/CHUNK)) == sum(granted blocks) <= cap_steps exactly.
+    Tiles whose whole grant is sub-block ("must" tiles) sort FIRST — a
+    block must be spent on them anyway, so they receive a full block of
+    content; after them, the largest fractional remainders round up
+    until the block budget is spent, the rest round down. Zero-sum at
+    the same pool."""
+    kq = (kept // CHUNK) * CHUNK
+    rem = kept - kq
+    must = (kq == 0) & (kept > 0)
+    nup = cap_steps - jnp.sum(kq) // CHUNK
+    prio = jnp.where(must, rem + CHUNK,
+                     jnp.where(rem > 0, rem, -1))
+    order = jnp.argsort(-prio)
+    rank = jnp.zeros(ntiles, jnp.int32).at[order].set(
+        jnp.arange(ntiles, dtype=jnp.int32))
+    bonus = (rank < nup) & (prio > 0)
+    return jnp.where(bonus, jnp.minimum(desired, kq + CHUNK), kq)
+
+
+def _aligned_pack_steps(bases, kept, cap_steps, sorted_splat, mpad: int,
+                        nseg: int, ntiles: int):
+    """ALIGNED chunk layout: every tile's kept list is repositioned to
+    start at its own pack-block boundary, so a pack block belongs to
+    exactly ONE tile — no boundary-straddle block. Pack block j of tile
+    t covers sorted rows [bases_t + j*128, +128): built by gathering the
+    two covering block-rows (2*cap_blocks cheap 128-int rows) and
+    rotating each row left by (bases_t mod 128) with 7 branch-free
+    conditional rolls. Returns (pack_idx (cap_blocks*CHUNK,) int32,
+    steps 5-tuple). ``bases`` is each tile's first sorted-row (the head
+    pack passes the tile starts; the decimated-tail pack passes
+    start + head_kept)."""
+    cap_blocks = _pad_to(cap_steps, nseg)
+    nblocks_t = (kept + CHUNK - 1) // CHUNK
+    blk_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(nblocks_t).astype(jnp.int32)])
+    total_blocks = blk_off[-1]
+    bid = jnp.arange(cap_blocks, dtype=jnp.int32)
+    bowner = jnp.clip(jnp.searchsorted(blk_off, bid, side="right")
+                      .astype(jnp.int32) - 1, 0, ntiles - 1)
+    blive = bid < total_blocks
+    jb = bid - blk_off[bowner]
+    nblk = mpad // CHUNK
+    # dead slots get DISTINCT block ids: gathers with repeated indices
+    # run ~1.7x slower on TPU (BENCHLOG round 2)
+    base = jnp.where(blive, bases[bowner] + jb * CHUNK,
+                     (bid % nblk) * CHUNK)
+    s2d = sorted_splat.reshape(nblk, CHUNK)
+    b0 = base // CHUNK
+    brows = jnp.stack([b0, jnp.minimum(b0 + 1, nblk - 1)], -1)
+    rows = jnp.take(s2d, brows.reshape(-1), axis=0) \
+              .reshape(cap_blocks, 2 * CHUNK)
+    sh = base % CHUNK
+    k = 1
+    while k < CHUNK:
+        rows = jnp.where((sh & k)[:, None] > 0,
+                         jnp.roll(rows, -k, axis=1), rows)
+        k *= 2
+    pack_idx = rows[:, :CHUNK].reshape(-1)
+    if nseg == 1:
+        # one grid step per pack block (lo = 0 always)
+        step_tile = jnp.where(blive, bowner, ntiles)
+        step_first = ((bid == blk_off[bowner]) & blive).astype(jnp.int32)
+        step_lo = jnp.zeros(cap_blocks, jnp.int32)
+        step_hi = jnp.where(blive,
+                            jnp.clip(kept[bowner] - jb * CHUNK,
+                                     0, CHUNK), 0)
+        step_block = bid
+    else:
+        # MULTI-CHUNK grid steps over the packed stream (``nseg`` pack
+        # blocks per step): tile t owns packed rows [pstart_t, pstart_t
+        # + kept_t); steps are built direct-layout style at blk =
+        # nseg*128 granularity — straddling steps run once per adjacent
+        # tile with complementary [lo, hi) masks. Divides the fixed
+        # ~0.66 us per-step sequencing cost that dominates deep-pool LOD
+        # frames (6120 aligned steps at tile_w=64/mpt=768).
+        blkp = CHUNK * nseg
+        pstart = blk_off[:-1] * CHUNK
+        pend = pstart + kept
+        first_blk = pstart // blkp
+        nsteps = jnp.where(kept > 0,
+                           (pend + blkp - 1) // blkp - first_blk, 0)
+        step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                    jnp.cumsum(nsteps)
+                                    .astype(jnp.int32)])
+        total_steps = step_off[-1]
+        cap_gsteps = cap_blocks // nseg + ntiles
+        sid = jnp.arange(cap_gsteps, dtype=jnp.int32)
+        owner = jnp.clip(
+            jnp.searchsorted(step_off, sid, side="right")
+            .astype(jnp.int32) - 1, 0, ntiles - 1)
+        live_step = sid < total_steps
+        step_tile = jnp.where(live_step, owner, ntiles)
+        step_first = ((sid == step_off[owner])
+                      & live_step).astype(jnp.int32)
+        maxgblk = cap_blocks // nseg - 1
+        gblk = jnp.where(
+            live_step,
+            jnp.clip(first_blk[owner] + (sid - step_off[owner]),
+                     0, maxgblk),
+            sid % (maxgblk + 1))
+        gbase = gblk * blkp
+        step_lo = jnp.where(live_step,
+                            jnp.clip(pstart[owner] - gbase, 0, blkp),
+                            0)
+        step_hi = jnp.where(live_step,
+                            jnp.clip(pend[owner] - gbase, 0, blkp),
+                            0)
+        step_block = gblk
+    return pack_idx, (step_tile, step_first, step_block, step_lo,
+                      step_hi)
+
+
 def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 cap_pairs: int, ky: int = KY,
                 max_per_tile: int | None = None,
@@ -646,7 +787,8 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 mid_lo_cap: int | None = None,
                 corner_cap: int | None = None,
                 budget=None, tail=None, tile_w: int = TILE_W,
-                records=None, nseg: int = 1, ext=None):
+                records=None, nseg: int = 1, ext=None,
+                tail_decim: int | None = None):
     """Chunk-aligned per-tile splat lists via ONE fused sort.
 
     Each splat emits K = KX*ky candidate (tile, splat) pairs keyed by a
@@ -962,44 +1104,30 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         # padding per frame at tile_w=32).
         cap_steps = -(-ntiles * max_per_tile // CHUNK)
         pool_pairs = cap_steps * CHUNK
-        # FLOOR-GUARANTEED allocation: every tile first receives its own
-        # baseline nthr = min(count, want) — the uniform-cap share (or
-        # its temporal budget) — and only the surplus pool funds the
-        # pooled-depth-cut EXTRA above it, proportionally. The former
-        # all-proportional scale let a few ultra-deep tiles starve
-        # everyone (and the 4x desire cap starved THEM — the shell
-        # silhouette failure, tools/exp_shell.py).
-        floor = jnp.minimum(nthr, desired)
-        fsum = jnp.sum(floor).astype(jnp.float32)
-        fscale = jnp.minimum(1.0, pool_pairs / jnp.maximum(fsum, 1.0))
-        floor = jnp.minimum((floor.astype(jnp.float32) * fscale)
-                            .astype(jnp.int32), floor)
-        extra = desired - floor
-        spare = (pool_pairs - jnp.sum(floor)).astype(jnp.float32)
-        escale = jnp.clip(spare / jnp.maximum(
-            jnp.sum(extra), 1).astype(jnp.float32), 0.0, 1.0)
-        kept = floor + (extra.astype(jnp.float32) * escale
-                        ).astype(jnp.int32)
-        # BLOCK SNAP (largest remainder): grant whole 128-pair blocks so
-        # sum(ceil(kept/128)) == sum(granted blocks) <= cap_steps
-        # exactly. Tiles whose whole grant is sub-block ("must" tiles)
-        # sort FIRST — a block must be spent on them anyway, so they
-        # receive a full block of content; after them, the largest
-        # fractional remainders round up until the block budget is
-        # spent, the rest round down. Zero-sum at the same pool.
-        kq = (kept // CHUNK) * CHUNK
-        rem = kept - kq
-        must = (kq == 0) & (kept > 0)
-        nup = cap_steps - jnp.sum(kq) // CHUNK
-        prio = jnp.where(must, rem + CHUNK,
-                         jnp.where(rem > 0, rem, -1))
-        order = jnp.argsort(-prio)
-        rank = jnp.zeros(ntiles, jnp.int32).at[order].set(
-            jnp.arange(ntiles, dtype=jnp.int32))
-        bonus = (rank < nup) & (prio > 0)
-        kept = jnp.where(bonus,
-                         jnp.minimum(desired, kq + CHUNK), kq)
+        # floor = the uniform-cap share (or its temporal budget); the
+        # surplus pool funds the pooled-depth-cut EXTRA proportionally,
+        # then grants snap to whole 128-pair blocks (largest remainder)
+        kept = _pool_grant(jnp.minimum(nthr, desired), desired,
+                           pool_pairs)
+        kept = _block_snap(kept, desired, cap_steps, ntiles)
         overflow = jnp.sum(count - kept)
+        tail_out = None
+        if tail_decim is not None:
+            # DECIMATED-TAIL grant: the NEXT-deeper pairs beyond the
+            # head grant composite at 2x2-decimated tile resolution
+            # (quarter pixel cost per pair) from a SECOND pool averaging
+            # ``tail_decim`` pairs/tile — uniform floor + proportional
+            # surplus by remaining depth, block-snapped. The tail only
+            # ever extends each tile's sorted prefix, so head+tail walk
+            # the same front-to-back order.
+            remc = count - kept
+            cap_steps_tl = -(-ntiles * tail_decim // CHUNK)
+            want_tl = jnp.minimum(remc, LOD_DESIRE_CAP * tail_decim)
+            kept_tl = _pool_grant(jnp.minimum(want_tl, tail_decim),
+                                  want_tl, cap_steps_tl * CHUNK)
+            kept_tl = _block_snap(kept_tl, want_tl, cap_steps_tl,
+                                  ntiles)
+            overflow = jnp.sum(count - kept - kept_tl)
         maxblk = mpad // CHUNK - 1
     else:
         # the cap never needs to exceed the (padded) emission count;
@@ -1016,98 +1144,16 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
         maxblk = cap_pairs // blk - 1
 
     if max_per_tile is not None:
-        # ALIGNED chunk layout: every tile's kept list is repositioned to
-        # start at its own pack-block boundary, so a pack block belongs
-        # to exactly ONE tile — no boundary-straddle block, one
-        # block/tile less to gather than the direct layout (at tile_w=32
-        # that was 2040 blocks and 261k packed rows of pure overhead per
-        # frame). Pack block j of tile t covers sorted rows
-        # [startc_t + j*128, +128): built by gathering the two covering
-        # block-rows (2*cap_blocks cheap 128-int rows) and rotating each
-        # row left by (startc_t mod 128) with 7 branch-free conditional
-        # rolls. The records pack stays ONE block-granular row gather in
-        # block order (~40x faster than per-element packing,
-        # tools/exp_bin.py).
-        cap_blocks = _pad_to(cap_steps, nseg)
-        nblocks_t = (kept + CHUNK - 1) // CHUNK
-        blk_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                   jnp.cumsum(nblocks_t)
-                                   .astype(jnp.int32)])
-        total_blocks = blk_off[-1]
-        bid = jnp.arange(cap_blocks, dtype=jnp.int32)
-        bowner = jnp.clip(jnp.searchsorted(blk_off, bid, side="right")
-                          .astype(jnp.int32) - 1, 0, ntiles - 1)
-        blive = bid < total_blocks
-        jb = bid - blk_off[bowner]
-        nblk = mpad // CHUNK
-        # dead slots get DISTINCT block ids: gathers with repeated
-        # indices run ~1.7x slower on TPU (BENCHLOG round 2)
-        base = jnp.where(blive, startc[bowner] + jb * CHUNK,
-                         (bid % nblk) * CHUNK)
-        s2d = sorted_splat.reshape(nblk, CHUNK)
-        b0 = base // CHUNK
-        brows = jnp.stack([b0, jnp.minimum(b0 + 1, nblk - 1)], -1)
-        rows = jnp.take(s2d, brows.reshape(-1), axis=0) \
-                  .reshape(cap_blocks, 2 * CHUNK)
-        sh = base % CHUNK
-        k = 1
-        while k < CHUNK:
-            rows = jnp.where((sh & k)[:, None] > 0,
-                             jnp.roll(rows, -k, axis=1), rows)
-            k *= 2
-        pack_idx = rows[:, :CHUNK].reshape(-1)
-        if nseg == 1:
-            # one grid step per pack block (lo = 0 always)
-            step_tile = jnp.where(blive, bowner, ntiles)
-            step_first = ((bid == blk_off[bowner])
-                          & blive).astype(jnp.int32)
-            step_lo = jnp.zeros(cap_blocks, jnp.int32)
-            step_hi = jnp.where(blive,
-                                jnp.clip(kept[bowner] - jb * CHUNK,
-                                         0, CHUNK), 0)
-            step_block = bid
-        else:
-            # MULTI-CHUNK grid steps over the packed stream (``nseg``
-            # pack blocks per step): tile t owns packed rows
-            # [pstart_t, pstart_t + kept_t); steps are built
-            # direct-layout style at blk = nseg*128 granularity —
-            # straddling steps run once per adjacent tile with
-            # complementary [lo, hi) masks. Divides the fixed ~0.66 us
-            # per-step sequencing cost that dominates deep-pool LOD
-            # frames (6120 aligned steps at tile_w=64/mpt=768).
-            blkp = CHUNK * nseg
-            pstart = blk_off[:-1] * CHUNK
-            pend = pstart + kept
-            first_blk = pstart // blkp
-            nsteps = jnp.where(kept > 0,
-                               (pend + blkp - 1) // blkp - first_blk, 0)
-            step_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                        jnp.cumsum(nsteps)
-                                        .astype(jnp.int32)])
-            total_steps = step_off[-1]
-            cap_gsteps = cap_blocks // nseg + ntiles
-            sid = jnp.arange(cap_gsteps, dtype=jnp.int32)
-            owner = jnp.clip(
-                jnp.searchsorted(step_off, sid, side="right")
-                .astype(jnp.int32) - 1, 0, ntiles - 1)
-            live_step = sid < total_steps
-            step_tile = jnp.where(live_step, owner, ntiles)
-            step_first = ((sid == step_off[owner])
-                          & live_step).astype(jnp.int32)
-            maxgblk = cap_blocks // nseg - 1
-            gblk = jnp.where(
-                live_step,
-                jnp.clip(first_blk[owner] + (sid - step_off[owner]),
-                         0, maxgblk),
-                sid % (maxgblk + 1))
-            gbase = gblk * blkp
-            step_lo = jnp.where(live_step,
-                                jnp.clip(pstart[owner] - gbase, 0, blkp),
-                                0)
-            step_hi = jnp.where(live_step,
-                                jnp.clip(pend[owner] - gbase, 0, blkp),
-                                0)
-            step_block = gblk
+        # ALIGNED chunk layout (see _aligned_pack_steps). The records
+        # pack stays ONE block-granular row gather in block order (~40x
+        # faster than per-element packing, tools/exp_bin.py).
+        pack_idx, steps = _aligned_pack_steps(
+            startc, kept, cap_steps, sorted_splat, mpad, nseg, ntiles)
+        if tail_decim is not None:
+            pack_tl, steps_tl = _aligned_pack_steps(
+                startc + kept, kept_tl, cap_steps_tl, sorted_splat,
+                mpad, _TAIL_SEG, ntiles)
+            tail_out = (pack_tl, steps_tl, kept_tl)
     else:
         # DIRECT chunk layout (exact mode): kernel step s processes one
         # contiguous CHUNK-block of the sorted pair array itself, masked
@@ -1156,7 +1202,8 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
                 + [zero] * (_ROWS - len(sorted_cols)), -1)
         else:
             pack_idx = jax.lax.slice(sorted_splat, (0,), (cap_pairs,))
-    steps = (step_tile, step_first, step_block, step_lo, step_hi)
+        steps = (step_tile, step_first, step_block, step_lo, step_hi)
+        tail_out = None
     visited = kept > 0                                       # (ntiles,)
     tail_slab = None
     if tail is not None:
@@ -1174,7 +1221,7 @@ def _bin_splats(mx, my, rad, valid, depth, ntx: int, nty: int,
     # corner-channel overflowers are dropped whole, like big-splat ones
     overflow_big = overflow_big + overflow_corner
     return (pack_idx, steps, visited, overflow, overflow_big, tail_slab,
-            (kept, count))
+            (kept, count), tail_out)
 
 
 def _pack_records(records: jnp.ndarray, pack_idx: jnp.ndarray):
@@ -1255,17 +1302,21 @@ def _composite_kernel(step_tile_ref, step_first_ref, step_block_ref,
 
 
 def _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref, sat_ref, tile,
-                     ntx, lo, hi, tile_w=TILE_W, row0=0):
-    pix = TILE_H * tile_w
-    shift = tile_w.bit_length() - 1          # tile_w is a power of two
+                     ntx, lo, hi, tile_w=TILE_W, row0=0, decim=1):
+    pix = (TILE_H // decim) * (tile_w // decim)
+    twd = tile_w // decim
+    shift = twd.bit_length() - 1             # tile widths are powers of 2
     ty0 = (tile // ntx) * TILE_H
     tx0 = (tile % ntx) * tile_w
-    # flat pixel index → (x, y) within the tile
+    # flat pixel index → (x, y) within the tile. ``decim`` > 1 evaluates
+    # the DECIMATED grid: one sample per decim x decim pixel quad, at
+    # the quad center (x*decim + decim/2) — the tail composite's
+    # quarter-cost resolution (upsampled bilinearly in finalize).
     i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-    px = (jax.lax.bitwise_and(i, tile_w - 1) + tx0
-          ).astype(jnp.float32) + 0.5
-    py = (jax.lax.shift_right_logical(i, shift) + ty0
-          ).astype(jnp.float32) + 0.5
+    px = (jax.lax.bitwise_and(i, twd - 1) * decim + tx0
+          ).astype(jnp.float32) + 0.5 * decim
+    py = (jax.lax.shift_right_logical(i, shift) * decim + ty0
+          ).astype(jnp.float32) + 0.5 * decim
 
     # ``row0``: static sub-block offset within a multi-chunk record block
     col = lambda c: rec_ref[row0:row0 + CHUNK, c:c + 1]      # (C, 1)
@@ -1358,6 +1409,103 @@ def _composite_call(records, steps, nty, ntx, interpret,
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(step_tile, step_first, step_block, step_lo, step_hi, records)
+
+
+def _composite_tail_kernel(step_tile_ref, step_first_ref, step_block_ref,
+                           step_lo_ref, step_hi_ref, thead_ref, rec_ref,
+                           r_ref, g_ref, b_ref, t_ref, sat_ref, *,
+                           ntx, ntiles, tile_w, decim, nseg=1):
+    """DECIMATED-TAIL composite: same front-to-back chunk body on a
+    decim x decim-decimated tile grid, entered at the HEAD composite's
+    per-quad transmittance (``thead_ref``, pre-decimated 2x2 means). A
+    tile whose head already saturated skips its entire tail at init —
+    the tail is free exactly where content is opaque. ``nseg`` chunk
+    sub-blocks composite per grid step (saturation re-checked between
+    them) to amortize the fixed per-step sequencing cost over the
+    decim²-smaller bodies."""
+    si = pl.program_id(0)
+    tile = step_tile_ref[si]
+    pixd = (TILE_H // decim) * (tile_w // decim)
+
+    @pl.when(tile < ntiles)
+    def _():
+        @pl.when(step_first_ref[si] == 1)
+        def _init():
+            r_ref[0] = jnp.zeros((1, pixd), jnp.float32)
+            g_ref[0] = jnp.zeros((1, pixd), jnp.float32)
+            b_ref[0] = jnp.zeros((1, pixd), jnp.float32)
+            t0 = thead_ref[0]
+            t_ref[0] = t0
+            sat_ref[0] = (jnp.max(t0) < _T_EPS).astype(jnp.int32)
+
+        lo = step_lo_ref[si]
+        hi = step_hi_ref[si]
+        if nseg == 1:
+            @pl.when(sat_ref[0] == 0)
+            def _run():
+                _composite_chunk(rec_ref, r_ref, g_ref, b_ref, t_ref,
+                                 sat_ref, tile, ntx, lo, hi, tile_w,
+                                 decim=decim)
+        else:
+            for g in range(nseg):
+                glo = jnp.clip(lo - g * CHUNK, 0, CHUNK)
+                ghi = jnp.clip(hi - g * CHUNK, 0, CHUNK)
+
+                @pl.when((ghi > glo) & (sat_ref[0] == 0))
+                def _(g=g, glo=glo, ghi=ghi):
+                    _composite_chunk(rec_ref, r_ref, g_ref, b_ref,
+                                     t_ref, sat_ref, tile, ntx, glo,
+                                     ghi, tile_w, row0=g * CHUNK,
+                                     decim=decim)
+
+
+def _decimate_t(t_plane, tile_w: int, decim: int):
+    """(ntiles+1, 1, pix) head transmittance → (ntiles+1, 1, pix/d²)
+    per-quad 2x2 means (the tail kernel's entry T)."""
+    nt1 = t_plane.shape[0]
+    t4 = t_plane.reshape(nt1, TILE_H // decim, decim,
+                         tile_w // decim, decim)
+    return jnp.mean(t4, axis=(2, 4)).reshape(
+        nt1, 1, (TILE_H // decim) * (tile_w // decim))
+
+
+def _composite_tail_call(records, steps, t_head, nty, ntx, interpret,
+                         tile_w: int = TILE_W, decim: int = 2,
+                         nseg: int = 1):
+    """Run the decimated-tail composite. Returns (r, g, b, t) planes of
+    shape (ntiles+1, 1, pix/decim²); ``t`` is ABSOLUTE transmittance
+    (head entry x tail product) at the decimated samples."""
+    ntiles = nty * ntx
+    pixd = (TILE_H // decim) * (tile_w // decim)
+    step_tile, step_first, step_block, step_lo, step_hi = steps
+    nsteps = step_tile.shape[0]
+    kernel = functools.partial(_composite_tail_kernel, ntx=ntx,
+                               ntiles=ntiles, tile_w=tile_w, decim=decim,
+                               nseg=nseg)
+
+    def out_map(si, st, sf, sb, sl, sh):
+        return (jnp.minimum(st[si], ntiles), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, pixd), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nseg * CHUNK, _ROWS),
+                         lambda si, st, sf, sb, sl, sh: (sb[si], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, pixd), out_map,
+                                memory_space=pltpu.VMEM)] * 4,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+    out_shape = [jax.ShapeDtypeStruct((ntiles + 1, 1, pixd),
+                                      jnp.float32)] * 4
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(step_tile, step_first, step_block, step_lo, step_hi, t_head,
+      records)
 
 
 # ---------------------------------------------------------------------------
@@ -1664,7 +1812,7 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
     nty = _pad_to(height, TILE_H) // TILE_H
     cap_pairs = _pad_to(means.shape[0] * KX * ky + ntx * nty * CHUNK,
                         CHUNK)
-    pack_idx, steps, visited, _, _, _, _ = _bin_splats(
+    pack_idx, steps, visited, _, _, _, _, _ = _bin_splats(
         sg(ps.mean2d[:, 0]), sg(ps.mean2d[:, 1]), ps.radius,
         jnp.isfinite(sg(ps.depth)), sg(ps.depth), ntx, nty, cap_pairs,
         ky=ky, max_per_tile=max_splats_per_tile, tile_w=tile_w,
@@ -1679,7 +1827,8 @@ def render_gaussians_diff(means, scales, quats, opacities, colors,
 
 def finalize_planes(r, g, b, t, visited, nty: int, ntx: int,
                     background, tail_slab=None,
-                    tile_w: int = TILE_W) -> jnp.ndarray:
+                    tile_w: int = TILE_W,
+                    tail_decim_planes=None, decim: int = 2) -> jnp.ndarray:
     """Shared composite tail: mask never-visited tiles (garbage blocks) to
     background, untile the flat planes, composite the LOD tail slab (if
     any) behind the kept lists, and blend the background through the
@@ -1704,6 +1853,29 @@ def finalize_planes(r, g, b, t, visited, nty: int, ntx: int,
     rgb = jnp.stack(planes[:3], -1)
     tt = planes[3]
     bg = jnp.asarray(background, jnp.float32)
+    if tail_decim_planes is not None:
+        # DECIMATED-TAIL combine: the tail kernel composited the
+        # next-deeper pairs at decim x decim resolution ENTERED at the
+        # head's per-quad transmittance, so its premultiplied color adds
+        # directly after bilinear upsampling (half-pixel-aligned: the
+        # decimated samples sit at quad centers); the head transmittance
+        # is multiplied by the tail-only product (absolute tail T over
+        # its entry T, guarded where the head already saturated).
+        rt, gt, bt, tt_abs, td, vis_t = tail_decim_planes
+        vt = jnp.concatenate([vis_t, jnp.zeros((1,), bool)])[:, None,
+                                                             None]
+        hw = (nty * TILE_H, ntx * tile_w)
+
+        def upd(p, fill):
+            p = jnp.where(vt, p, fill)
+            return jax.image.resize(
+                _untile_decim(p, nty, ntx, tile_w, decim), hw,
+                "bilinear")
+
+        ratio = jnp.clip(tt_abs / jnp.maximum(td, 1e-20), 0.0, 1.0)
+        rgb = rgb + jnp.stack([upd(rt, 0.0), upd(gt, 0.0),
+                               upd(bt, 0.0)], -1)
+        tt = tt * upd(ratio, 1.0)
     if tail_slab is not None:
         tail_la, tail_rgb = tail_slab
         hw = (nty * TILE_H, ntx * tile_w)
@@ -1731,6 +1903,15 @@ def _untile(plane: jnp.ndarray, nty: int, ntx: int,
     return t.transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * tile_w)
 
 
+def _untile_decim(plane: jnp.ndarray, nty: int, ntx: int,
+                  tile_w: int, decim: int) -> jnp.ndarray:
+    """:func:`_untile` for decimated tail planes: (ntiles+1, 1, PIX/d²)
+    → (nty*TILE_H/d, ntx*tile_w/d)."""
+    th, tw = TILE_H // decim, tile_w // decim
+    t = plane[:nty * ntx].reshape(nty, ntx, th, tw)
+    return t.transpose(0, 2, 1, 3).reshape(nty * th, ntx * tw)
+
+
 def render_gaussians(cloud, view, proj, width: int, height: int,
                      background=(0.0, 0.0, 0.0),
                      pairs_cap_factor: int | None = None,
@@ -1743,6 +1924,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      corner_cap: int | None = None,
                      lod_budget=None,
                      lod_tail: bool = False,
+                     lod_tail_decim: int | None = None,
                      return_stats: bool = False,
                      interpret: bool = False,
                      tile_w: int = TILE_W,
@@ -1841,6 +2023,19 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     dominates; streaming ``exact_seg`` chunks per step with the early-out
     re-checked between sub-chunks divides it.
 
+    ``lod_tail_decim`` (with ``max_splats_per_tile``): DECIMATED-TAIL
+    compositing — a second step pool averaging this many pairs/tile
+    extends each tile's sorted prefix beyond the head grant, composited
+    at 2x2-decimated tile resolution (quarter pixel cost per pair) and
+    bilinearly upsampled under the head's transmittance. Deep lists'
+    far content is heavily attenuated and spatially smooth, so the
+    decimation error is far below the truncation error of simply
+    dropping those pairs: ~4x the effective depth per composite
+    millisecond. Tiles whose head saturated skip their whole tail at
+    init (one SMEM read). Dropped-pair accounting moves behind the
+    tail; the lossless certificate stays HEAD-based (conservative:
+    tail coverage never falsely certifies).
+
     ``lod_seg``: the same knob for the LOD layout — multi-chunk steps
     are built over the block-aligned packed stream (straddling steps run
     once per adjacent tile, direct-layout style), dividing the per-step
@@ -1866,6 +2061,8 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         raise ValueError("mid_splat_cap requires big_splat_cap")
     if mid_lo_splat_cap is not None and mid_splat_cap is None:
         raise ValueError("mid_lo_splat_cap requires mid_splat_cap")
+    if lod_tail_decim is not None and max_splats_per_tile is None:
+        raise ValueError("lod_tail_decim requires max_splats_per_tile")
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
         from ..models.gaussians import eval_sh_colors
@@ -1917,7 +2114,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         tail_in = (a_full, colors)
     with jax.named_scope("gs.bin"):
         (pack_idx, steps, visited, overflow, overflow_big, tail_slab,
-         lod_kc) = _bin_splats(
+         lod_kc, bin_tail) = _bin_splats(
                 ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
                 jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs,
                 ky=ky, max_per_tile=max_splats_per_tile,
@@ -1928,7 +2125,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                 tile_w=tile_w,
                 records=(records if payload_sort
                          and max_splats_per_tile is None else None),
-                nseg=nseg, ext=ps.ext)
+                nseg=nseg, ext=ps.ext, tail_decim=lod_tail_decim)
     with jax.named_scope("gs.pack"):
         # exact mode: records rode the sort as payload columns and
         # pack_idx already IS the packed array (see _bin_splats); the
@@ -1943,8 +2140,23 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     with jax.named_scope("gs.composite"):
         r, g, b, t, texec = _composite_call(packed, steps, nty, ntx,
                                             interpret, tile_w, nseg=nseg)
+    tail_planes = None
+    if bin_tail is not None:
+        pack_tl, steps_tl, kept_tl = bin_tail
+        with jax.named_scope("gs.tail_decim"):
+            packed_tl = _pack_records(records, pack_tl)
+            # head-UNVISITED tiles (kept 0, e.g. pool-starved) carry
+            # uninitialized head planes; their true entry T is 1
+            vis_h = jnp.concatenate(
+                [visited, jnp.zeros((1,), bool)])[:, None, None]
+            td = _decimate_t(jnp.where(vis_h, t, 1.0), tile_w, _TAIL_D)
+            rt, gt, bt, tt = _composite_tail_call(
+                packed_tl, steps_tl, td, nty, ntx, interpret, tile_w,
+                decim=_TAIL_D, nseg=_TAIL_SEG)
+            tail_planes = (rt, gt, bt, tt, td, kept_tl > 0)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background,
-                          tail_slab=tail_slab, tile_w=tile_w)
+                          tail_slab=tail_slab, tile_w=tile_w,
+                          tail_decim_planes=tail_planes, decim=_TAIL_D)
     img = img[:height, :width]
     if return_stats:
         # per-tile pairs actually composited before saturation (temporal

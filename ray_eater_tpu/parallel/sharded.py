@@ -252,7 +252,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
             tail_in = (a_full, records[:, gs_ops._CR:gs_ops._CB2 + 1])
 
         (pack_idx, steps, visited, overflow, overflow_big, tail_slab,
-         lod_kc) = gs_ops._bin_splats(records[:, gs_ops._MX],
+         lod_kc, _) = gs_ops._bin_splats(records[:, gs_ops._MX],
                                records[:, gs_ops._MY], rad,
                                valid & in_band, depth,
                                ntx, nty_local, cap_pairs, ky=ky,
@@ -446,7 +446,7 @@ def render_gaussians_depth_sliced(cloud, view, proj, width: int,
         depth = sl[:, gs_ops._ROWS + 1]
         valid = sl[:, gs_ops._ROWS + 2] > 0.5
         (packed, steps, visited, overflow, overflow_big, _,
-         _) = gs_ops._bin_splats(
+         _, _) = gs_ops._bin_splats(
             records[:, gs_ops._MX], records[:, gs_ops._MY], rad, valid,
             depth, ntx, nty, cap_pairs, ky=ky, tile_w=tile_w,
             big_cap=big_splat_cap, records=records,

@@ -184,7 +184,7 @@ def test_pairs_cap_overflow_is_graceful():
     records = gs._make_records(ps)
     ntx, nty = 2, 6
     cap = 2 * gs.CHUNK
-    pack_idx, steps, visited, overflow, _, _, _ = gs._bin_splats(
+    pack_idx, steps, visited, overflow, _, _, _, _ = gs._bin_splats(
         ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
         jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap)
     assert int(overflow) > 0
@@ -838,3 +838,81 @@ def test_mid_lo_splat_four_level_matches_reference():
     with pytest.raises(ValueError, match="mid_lo_splat_cap"):
         render_gaussians(cloud, view, proj, W, H, bg, big_splat_cap=16,
                          mid_lo_splat_cap=16, interpret=True)
+
+
+def test_tail_decim1_matches_deeper_exact():
+    # DECIMATED-TAIL pipeline proof: with the decimation factor pinned
+    # to 1 the tail is the SAME math as a deeper head (entry-T chaining,
+    # grant, pack, steps all exercised) — head+tail must reproduce the
+    # exact render to float noise when the combined pools cover every
+    # pair
+    view, proj = camera()
+    cloud = random_cloud(600, seed=3, extent=0.5,
+                         scale_range=(0.03, 0.09))
+    exact = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                        interpret=True))
+    old = gs._TAIL_D
+    gs._TAIL_D = 1
+    try:
+        both = np.asarray(render_gaussians(
+            cloud, view, proj, W, H, interpret=True,
+            max_splats_per_tile=128, lod_tail_decim=512))
+    finally:
+        gs._TAIL_D = old
+    mse = float(np.mean((both - exact) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 100.0, psnr
+
+
+def test_tail_decim2_beats_head_only():
+    # production decim=2: the tail recovers most of the truncated
+    # content at quarter pixel cost — strictly better than dropping it
+    view, proj = camera()
+    cloud = random_cloud(600, seed=3, extent=0.5,
+                         scale_range=(0.03, 0.09))
+    exact = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                        interpret=True))
+    head = np.asarray(render_gaussians(
+        cloud, view, proj, W, H, interpret=True,
+        max_splats_per_tile=128))
+    both, st = render_gaussians(
+        cloud, view, proj, W, H, interpret=True,
+        max_splats_per_tile=128, lod_tail_decim=512,
+        return_stats=True)
+    both = np.asarray(both)
+    assert np.isfinite(both).all()
+
+    def psnr(a):
+        mse = float(np.mean((a - exact) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    assert psnr(both) > psnr(head) + 5.0, (psnr(head), psnr(both))
+    # dropped-pair accounting moved behind the tail
+    assert int(st["overflow_pairs"]) >= 0
+
+
+def test_tail_skips_saturated_tiles():
+    # a tile whose head saturated must get a bit-identical image with
+    # and without the tail (the tail kernel's init-time early-out)
+    view, proj = camera()
+    n = 600
+    means = np.zeros((n, 3), np.float32)
+    means[:, 2] = np.linspace(-0.5, 0.5, n)
+    # all splats project to the image center; sigma ~8 px, so the head's
+    # 256-pair grant drives T below _T_EPS across the whole center patch
+    # (alpha >= 0.4/splat there) while staying inside the ky radius clamp
+    cloud = gaussian_cloud(means, np.full((n, 3), 0.3),
+                           [[1, 0, 0, 0]] * n, [0.98] * n,
+                           np.tile([[0.9, 0.4, 0.1]], (n, 1)))
+    a = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                    interpret=True,
+                                    max_splats_per_tile=2 * gs.CHUNK))
+    b = np.asarray(render_gaussians(cloud, view, proj, W, H,
+                                    interpret=True,
+                                    max_splats_per_tile=2 * gs.CHUNK,
+                                    lod_tail_decim=256))
+    # deep inside saturation (>=6 quads from any unsaturated quad, so
+    # bilinear tail upsampling cannot reach in)
+    core = np.s_[H // 2 - 8: H // 2 + 8, W // 2 - 10: W // 2 + 10]
+    assert float(a[core].min()) > 0.05  # the patch is actually covered
+    np.testing.assert_allclose(a[core], b[core], atol=1e-5)

@@ -76,7 +76,7 @@ def test_pallas_backward_matches_jnp_autodiff():
     ntx = -(-W // gs.TILE_W)
     nty = -(-H // gs.TILE_H)
     cap = -(-(60 * gs.KX * gs.KY + ntx * nty * 128) // 128) * 128
-    pack_idx, steps, vis, ov, _, _, _ = gs._bin_splats(
+    pack_idx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
         ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
         jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap, max_per_tile=512)
     packed0 = jnp.take(records, pack_idx, axis=0)

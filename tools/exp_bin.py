@@ -126,7 +126,7 @@ def main():
             count = start[1:] - startc
             if stop == "search":
                 return c + (startc[0] + count[0]).astype(jnp.float32) * 1e-12
-            pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+            pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
                 mx + c * 1e-6, my, rad, valid, depth, ntx, nty,
                 N * gs.KX * ky, max_per_tile=MPT)
             return c + (pidx[0] + steps[0][0]).astype(jnp.float32) * 1e-12

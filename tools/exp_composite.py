@@ -51,7 +51,7 @@ def main():
     def prep(ms, ss, qs, os_, cs):
         ps = gs.project_gaussians(ms, ss, qs, os_, cs, view, proj, W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap,
             max_per_tile=MPT)

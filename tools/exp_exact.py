@@ -69,7 +69,7 @@ def main():
         # emission + ONE payload sort + direct layout: pack_idx IS the
         # packed record array in this mode
         ps, recs = proj_rec(t)
-        pack, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pack, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs,
             tile_w=TW, records=recs, nseg=SEG)
@@ -80,7 +80,7 @@ def main():
         # ablation: the same binning WITHOUT the payload columns (key+id
         # sort only, no pack) — isolates what the payload columns add
         ps, recs = proj_rec(t)
-        pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs,
             tile_w=TW, nseg=SEG)

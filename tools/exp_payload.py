@@ -67,7 +67,7 @@ def main():
                          + ntx * nty * gs.CHUNK
                          + (big * gs._kx2(tw) * gs.KY2 if big else 0),
                          gs.CHUNK)
-        pack_idx, steps, visited, ov, ovb, _, _ = gs._bin_splats(
+        pack_idx, steps, visited, ov, ovb, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap,
             big_cap=big, tile_w=tw)

@@ -84,7 +84,7 @@ def main():
     CHUNK = gs.CHUNK
     cap = gs._pad_to(cloud.num_splats * gs.KX * gs.KY
                      + ntiles * CHUNK, CHUNK)
-    _, _, _, overflow, _, _, (kept, count) = gs._bin_splats(
+    _, _, _, overflow, _, _, (kept, count), _ = gs._bin_splats(
         ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
         jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap,
         max_per_tile=mpt, tile_w=tw)

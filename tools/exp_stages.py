@@ -105,13 +105,13 @@ def main():
         return recs, out
 
     def st_bin(t):
-        recs, (pidx, steps, vis, ov, ovb, _, _) = bin_out(t)
+        recs, (pidx, steps, vis, ov, ovb, _, _, _) = bin_out(t)
         return (t + pidx[0].astype(jnp.float32) * 1e-12
                 + recs[0, 0] * 1e-12
                 + steps[0][0].astype(jnp.float32) * 1e-12)
 
     def st_pack(t):
-        recs, (pidx, steps, vis, ov, ovb, _, _) = bin_out(t)
+        recs, (pidx, steps, vis, ov, ovb, _, _, _) = bin_out(t)
         packed = gs._pack_records(recs, pidx)
         return t + packed[0, 0] * 1e-12
 

@@ -1,10 +1,22 @@
-"""Same-process A/B of the LOD tail-slab proxy (round-3 quality work).
+"""Decimated-tail composite operating-point ladder (VERDICT r4 task 1).
 
-For sampled frames of the bench flythrough: PSNR vs the exact render with
-the tail slab ON vs OFF, plus device-loop frame time for both variants.
-Decides whether the slab ships default-on (it must not degrade typical
-frames to buy the grazing views). RAYEATER_BENCH_SCENE selects the scene
-(fog default / shell / inria); RAYEATER_EXP_MPT the LOD depth (384)."""
+For each ``head_mpt:tail_decim`` combo this measures, same-process:
+
+  - device-loop window FPS (10-frame fori_loop, fetched)
+  - per-sampled-frame PSNR vs the exact render, lossless flag,
+    dropped pairs (now counted BEHIND the tail)
+
+The tail composites the next-deeper pairs at 2x2-decimated resolution
+(quarter pixel cost per pair), so a combo like 384:1536 walks the same
+effective depth as head-only 768 at ~equal composite cost — the
+question is where the quality/FPS frontier beats the head-only ladder.
+Knobs come from bench.resolve_knobs (production channels/corner/tile_w).
+
+Env: RAYEATER_BENCH_SCENE (inria default here), RAYEATER_EXP_COMBOS
+(csv of head:tail, e.g. "768:0,384:1024,256:2048"), RAYEATER_BENCH_*
+overrides. Record results in BENCHLOG.md.
+"""
+from __future__ import annotations
 
 import os
 import sys
@@ -14,21 +26,31 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+FRAMES = 10
+
 
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    from ray_eater_tpu import rmath
+    import bench
+    import ray_eater_tpu as re
     from ray_eater_tpu.models.gaussians import (inria_cloud, random_cloud,
                                                 shell_cloud)
-    from ray_eater_tpu.ops.gs import render_gaussians
+    from ray_eater_tpu.ops import gs
 
-    scene = os.environ.get("RAYEATER_BENCH_SCENE", "fog")
+    scene = os.environ.get("RAYEATER_BENCH_SCENE", "inria")
     n = int(os.environ.get("RAYEATER_BENCH_SPLATS", 1_000_000))
-    mpt = int(os.environ.get("RAYEATER_EXP_MPT", 384))
-    W, H = 1920, 1080
-    print(f"device: {jax.devices()[0]}  scene={scene} n={n} mpt={mpt}",
+    W, H = (int(v) for v in os.environ.get(
+        "RAYEATER_BENCH_RES", "1920x1080").split("x"))
+    combos = [tuple(int(x) for x in c.split(":")) for c in os.environ.get(
+        "RAYEATER_EXP_COMBOS", "768:0,512:1024,384:1536,256:2048")
+        .split(",")]
+    ctx = re.Context()
+    knobs = bench.resolve_knobs(scene, n)
+    print(f"device: {ctx.device} scene={scene} combos={combos}", flush=True)
+    print("knobs: " + " ".join(f"{k}={v}" for k, v in knobs.items()),
           flush=True)
 
     if scene == "shell":
@@ -39,63 +61,57 @@ def main():
         cloud = random_cloud(n, seed=1, extent=1.0,
                              scale_range=(0.004, 0.02))
     cloud = jax.device_put(cloud)
-    big = {"inria": n // 16}.get(scene, 0) or None
 
-    def cam(t):
-        ang = rmath.radians(30.0) * t
-        eye = jnp.stack([2.5 * jnp.cos(ang), jnp.float32(0.8),
-                         2.5 * jnp.sin(ang)])
-        view = rmath.look_at_zforward(eye, rmath.vec(0.0, 0.0, 0.0))
-        proj = rmath.perspective(rmath.radians(60.0), W / H, 0.05, 50.0)
-        return view, proj
+    def frame(c, t, mpt, tail, stats=False):
+        view, proj = bench.flythrough_camera(t, W, H)
+        kw = bench.render_kwargs(knobs, exact=mpt is None,
+                                 interpret=ctx.interpret)
+        if mpt is not None:
+            kw["max_splats_per_tile"] = mpt
+            kw["lod_tail_decim"] = tail or None
+            kw["return_stats"] = stats
+        return gs.render_gaussians(c, view, proj, W, H, **kw)
 
-    def frame(c, t, tail):
-        view, proj = cam(t)
-        return render_gaussians(c, view, proj, W, H,
-                                max_splats_per_tile=mpt, lod_tail=tail,
-                                big_splat_cap=big)
-
-    def exact(c, t):
-        view, proj = cam(t)
-        return render_gaussians(c, view, proj, W, H, big_splat_cap=big)
-
-    f_on = jax.jit(lambda c, t: frame(c, t, True))
-    f_off = jax.jit(lambda c, t: frame(c, t, False))
-    f_ex = jax.jit(exact)
+    exact_fn = jax.jit(lambda c, t: frame(c, t, None, None))
 
     def psnr(a, b):
         mse = float(jnp.mean((a - b) ** 2))
         return 10 * np.log10(1.0 / max(mse, 1e-12))
 
-    for k in range(6):
-        t = np.float32(59 * k / 5 / 60.0)
-        ex = f_ex(cloud, t)
-        on = psnr(f_on(cloud, t), ex)
-        off = psnr(f_off(cloud, t), ex)
-        print(f"frame {k}: tail ON {on:6.1f} dB   OFF {off:6.1f} dB",
-              flush=True)
+    for mpt, tail in combos:
+        def window_fn(c, t0, mpt=mpt, tail=tail):
+            def body(i, acc):
+                img = frame(c, t0 + i.astype(jnp.float32) / 60.0, mpt,
+                            tail)
+                return acc + img[0, 0, 0] * 1e-12
+            return lax.fori_loop(0, FRAMES, body, t0)
 
-    # device-loop timing (10-frame fori through the carry)
-    def loop(fn):
-        def body(c, _):
-            img = fn(cloud, c)
-            return c + img[0, 0, 0] * 1e-12 + 1.0 / 60.0, None
-        def run(c0):
-            c, _ = jax.lax.scan(body, c0, None, length=20)
-            return c
-        j = jax.jit(run)
-        jax.block_until_ready(j(jnp.float32(0)))
+        wjit = jax.jit(window_fn)
+        t0 = time.perf_counter()
+        jax.block_until_ready(wjit(cloud, np.float32(0.0)))
+        compile_s = time.perf_counter() - t0
         best = 1e9
-        for _ in range(3):
+        for w in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(j(jnp.float32(0)))
-            best = min(best, (time.perf_counter() - t0) / 20 * 1000)
-        return best
+            out = wjit(cloud, np.float32(w))
+            float(np.asarray(out))
+            best = min(best, (time.perf_counter() - t0) / FRAMES)
+        fps = 1.0 / best
 
-    t_on = loop(lambda c, t: frame(c, t, True))
-    t_off = loop(lambda c, t: frame(c, t, False))
-    print(f"frame time: tail ON {t_on:.2f} ms   OFF {t_off:.2f} ms",
-          flush=True)
+        sample = jax.jit(lambda c, t, mpt=mpt, tail=tail:
+                         frame(c, t, mpt, tail, True))
+        certs, drops, ps = [], [], []
+        for k in range(6):
+            ts = np.float32(59 * k / 5 / 60.0)
+            img, st = sample(cloud, ts)
+            certs.append(bool(st["lossless"]))
+            drops.append(int(st["overflow_pairs"]))
+            ps.append(psnr(img, exact_fn(cloud, ts)))
+        print(f"head={mpt:4d} tail={tail:5d}: {fps:6.2f} FPS  "
+              f"min {min(ps):5.1f} dB "
+              f"[{' '.join(f'{p:.0f}' for p in ps)}]  "
+              f"lossless={certs}  dropped={drops}  "
+              f"(compile {compile_s:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

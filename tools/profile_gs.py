@@ -100,7 +100,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, tile_w=TW)
         return t + pidx[0].astype(jnp.float32) * 1e-12 + recs[0, 0] * 1e-12
@@ -111,7 +111,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_pairs, tile_w=TW)
         packed = gs._pack_records(recs, pidx)
@@ -134,7 +134,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
             max_per_tile=MPT, tile_w=TW)
@@ -146,7 +146,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
             max_per_tile=MPT, tile_w=TW)
@@ -167,7 +167,7 @@ def main():
                                   cloud.opacities, cloud.colors, v, proj,
                                   W, H)
         recs = gs._make_records(ps)
-        pidx, steps, vis, ov, _, _, _ = gs._bin_splats(
+        pidx, steps, vis, ov, _, _, _, _ = gs._bin_splats(
             ps.mean2d[:, 0], ps.mean2d[:, 1], ps.radius,
             jnp.isfinite(ps.depth), ps.depth, ntx, nty, cap_b,
             max_per_tile=MPT, tile_w=TW)
