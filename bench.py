@@ -25,7 +25,7 @@ TARGET_FPS = 60.0
 # was the corner-channel lesson (BENCHLOG 2026-08-17); the split is now
 # asserted by tests/test_bench_gate.py.
 LOD_ONLY_KNOBS = ("max_splats_per_tile", "lod_seg", "lod_tail_decim",
-                  "return_stats")
+                  "lod_tail_d", "return_stats")
 
 
 def resolve_knobs(scene: str, n: int, env=None) -> dict:
@@ -67,8 +67,12 @@ def resolve_knobs(scene: str, n: int, env=None) -> dict:
     # defaults from the measured ladders (BENCHLOG): fog 176 (71.6 FPS @
     # min 37.2 dB), shell 640 (32.5 @ 42.1), inria 768 @ tw=64 (the
     # round-4 aniso ladder). RAYEATER_BENCH_MPT=0 renders exact.
-    mpt_default = {"fog": 176, "shell": 640, "inria": 768,
-                   "trained": 768}.get(scene, 384)
+    # inria's production point rides the decimated-tail composite: a
+    # shallow full-res head (128) + deep quarter-cost tail (768) beat
+    # the head-only 768 pool by +20% FPS at identical min-PSNR
+    # (33.6 vs 28.0 FPS @ 38.0 dB, tools/exp_tail.py 2026-08-21)
+    mpt_default = {"fog": 176, "shell": 640, "inria": 128,
+                   "trained": 128}.get(scene, 384)
     # CERTIFIED mode: pool sized at the measured saturation need ("LOD is
     # lossless when budgets pass saturation", BENCHLOG 2026-08-17) — the
     # recorded exact answer at production speed. The PSNR gate prints the
@@ -79,6 +83,22 @@ def resolve_knobs(scene: str, n: int, env=None) -> dict:
         mpt_default = {"fog": 384, "shell": 704, "inria": 768}.get(
             scene, 512)
     mpt = int(env.get("RAYEATER_BENCH_MPT", mpt_default)) or None
+
+    # DECIMATED-TAIL composite (gs.render_gaussians lod_tail_decim): a
+    # second step pool averaging this many pairs/tile extends each
+    # tile's sorted prefix at quarter pixel cost. 0 = off. Certified
+    # mode keeps the tail OFF: the tail composites approximately (2x2
+    # decimation), so it can improve dry frames but never certify them
+    # — the certified pool must cover saturation need on its own.
+    tail_default = 0 if certified else {
+        "inria": 768, "trained": 768}.get(scene, 0)
+    tail = int(env.get("RAYEATER_BENCH_TAIL", tail_default)) or None
+    if tail is not None and not mpt:
+        tail = None
+    # tail decimation factor: 4 (1/16 pixel cost) wins +5% FPS at
+    # −0.3 dB on inria (tools/exp_tail.py 2026-08-21); 2 elsewhere
+    tail_d = int(env.get("RAYEATER_BENCH_TAIL_D",
+                         {"inria": 4, "trained": 4}.get(scene, 2)))
 
     # composite tile width: inria-style elongated-splat scenes win at
     # tw=64 (+39% FPS over 32 at equal mpt, tools/exp_cert.py
@@ -109,15 +129,6 @@ def resolve_knobs(scene: str, n: int, env=None) -> dict:
     # measured NEUTRAL on inria tw=64/mpt=768 — default stays 1
     lod_seg = int(env.get("RAYEATER_BENCH_LODSEG", 1))
 
-    # DECIMATED-TAIL composite (gs.render_gaussians lod_tail_decim): a
-    # second step pool averaging this many pairs/tile extends each
-    # tile's sorted prefix at quarter pixel cost. 0 = off. Per-scene
-    # defaults from the exp_tail ladder (BENCHLOG).
-    tail = int(env.get("RAYEATER_BENCH_TAIL",
-                       {"inria": 0, "trained": 0}.get(scene, 0))) or None
-    if tail is not None and not mpt:
-        tail = None
-
     # dry-tile floor treatment for the temporal budgets (see
     # gs.update_lod_budget): "static" is the revisit-robust variant for
     # dry-heavy trained scenes; fog/shell keep the measured round-3
@@ -130,8 +141,9 @@ def resolve_knobs(scene: str, n: int, env=None) -> dict:
                 max_splats_per_tile=mpt, big_splat_cap=big_cap,
                 mid_splat_cap=mid_cap, mid_lo_splat_cap=midlo_cap,
                 corner_cap=corner_cap, tile_w=tile_w, lod_seg=lod_seg,
-                lod_tail_decim=tail, temporal=temporal,
-                certified=certified, dry_floor=dry_floor)
+                lod_tail_decim=tail, lod_tail_d=tail_d,
+                temporal=temporal, certified=certified,
+                dry_floor=dry_floor)
 
 
 def render_kwargs(knobs: dict, exact: bool, interpret: bool) -> dict:
@@ -155,6 +167,7 @@ def render_kwargs(knobs: dict, exact: bool, interpret: bool) -> dict:
         kw.update(max_splats_per_tile=knobs["max_splats_per_tile"],
                   lod_seg=knobs["lod_seg"],
                   lod_tail_decim=knobs["lod_tail_decim"],
+                  lod_tail_d=knobs["lod_tail_d"],
                   return_stats=True)
     return kw
 

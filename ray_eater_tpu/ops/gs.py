@@ -80,10 +80,12 @@ LOD_DESIRE_CAP = 32
 #: frame, small enough that an all-dry scene stays ≈ the balanced static
 #: allocation
 _DRY_FLOOR_CAP = 4
-#: decimation factor of the lod_tail_decim tail composite (2 = one
-#: sample per 2x2 pixel quad, quarter cost). Module-level so tests can
-#: pin 1 (bit-near-exact equivalence) — production stays 2.
-_TAIL_D = 2
+#: default decimation factor of the lod_tail_decim tail composite (2 =
+#: one sample per 2x2 pixel quad, quarter cost; 4 = 1/16 cost, −0.3 dB
+#: on inria — tools/exp_tail.py 2026-08-21). Module-level default so
+#: tests can pin 1 (bit-near-exact equivalence); per-call override via
+#: render_gaussians(lod_tail_d=...). Env var is the global A/B knob.
+_TAIL_D = int(__import__("os").environ.get("RAYEATER_TAIL_D", "2"))
 #: multi-chunk steps of the tail composite: the tail's per-step body is
 #: decim²-smaller than the head's, so the fixed ~0.66 us/step sequencing
 #: cost dominates at nseg=1 (measured: tail pairs priced ~equal to head
@@ -1925,6 +1927,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
                      lod_budget=None,
                      lod_tail: bool = False,
                      lod_tail_decim: int | None = None,
+                     lod_tail_d: int | None = None,
                      return_stats: bool = False,
                      interpret: bool = False,
                      tile_w: int = TILE_W,
@@ -2026,7 +2029,9 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
     ``lod_tail_decim`` (with ``max_splats_per_tile``): DECIMATED-TAIL
     compositing — a second step pool averaging this many pairs/tile
     extends each tile's sorted prefix beyond the head grant, composited
-    at 2x2-decimated tile resolution (quarter pixel cost per pair) and
+    at ``lod_tail_d`` x ``lod_tail_d``-decimated tile resolution
+    (default module ``_TAIL_D``=2: quarter pixel cost per pair; 4 =
+    1/16 cost at −0.3 dB on inria, tools/exp_tail.py 2026-08-21) and
     bilinearly upsampled under the head's transmittance. Deep lists'
     far content is heavily attenuated and spatially smooth, so the
     decimation error is far below the truncation error of simply
@@ -2063,6 +2068,7 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
         raise ValueError("mid_lo_splat_cap requires mid_splat_cap")
     if lod_tail_decim is not None and max_splats_per_tile is None:
         raise ValueError("lod_tail_decim requires max_splats_per_tile")
+    tail_d = _TAIL_D if lod_tail_d is None else lod_tail_d
     colors = cloud.colors
     if cam_pos is not None and getattr(cloud, "sh_rest", None) is not None:
         from ..models.gaussians import eval_sh_colors
@@ -2149,14 +2155,14 @@ def render_gaussians(cloud, view, proj, width: int, height: int,
             # uninitialized head planes; their true entry T is 1
             vis_h = jnp.concatenate(
                 [visited, jnp.zeros((1,), bool)])[:, None, None]
-            td = _decimate_t(jnp.where(vis_h, t, 1.0), tile_w, _TAIL_D)
+            td = _decimate_t(jnp.where(vis_h, t, 1.0), tile_w, tail_d)
             rt, gt, bt, tt = _composite_tail_call(
                 packed_tl, steps_tl, td, nty, ntx, interpret, tile_w,
-                decim=_TAIL_D, nseg=_TAIL_SEG)
+                decim=tail_d, nseg=_TAIL_SEG)
             tail_planes = (rt, gt, bt, tt, td, kept_tl > 0)
     img = finalize_planes(r, g, b, t, visited, nty, ntx, background,
                           tail_slab=tail_slab, tile_w=tile_w,
-                          tail_decim_planes=tail_planes, decim=_TAIL_D)
+                          tail_decim_planes=tail_planes, decim=tail_d)
     img = img[:height, :width]
     if return_stats:
         # per-tile pairs actually composited before saturation (temporal

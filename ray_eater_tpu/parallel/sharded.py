@@ -95,6 +95,8 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                              corner_cap: int | None = None,
                              lod_budget=None,
                              lod_tail: bool = False,
+                             lod_tail_decim: int | None = None,
+                             lod_tail_d: int | None = None,
                              return_stats: bool = False,
                              interpret: bool = False,
                              tile_w: int | None = None,
@@ -252,7 +254,7 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
             tail_in = (a_full, records[:, gs_ops._CR:gs_ops._CB2 + 1])
 
         (pack_idx, steps, visited, overflow, overflow_big, tail_slab,
-         lod_kc, _) = gs_ops._bin_splats(records[:, gs_ops._MX],
+         lod_kc, bin_tail) = gs_ops._bin_splats(records[:, gs_ops._MX],
                                records[:, gs_ops._MY], rad,
                                valid & in_band, depth,
                                ntx, nty_local, cap_pairs, ky=ky,
@@ -266,15 +268,35 @@ def render_gaussians_sharded(cloud, view, proj, width: int, height: int,
                                tail=tail_in, tile_w=tile_w,
                                records=(records if max_splats_per_tile
                                         is None else None),
-                               nseg=nseg, ext=ext)
+                               nseg=nseg, ext=ext,
+                               tail_decim=lod_tail_decim)
         # exact mode: payload-sort returned the packed array directly
         packed = (pack_idx if max_splats_per_tile is None
                   else gs_ops._pack_records(records, pack_idx))
         r_, g_, b_, t_, texec = gs_ops._composite_call(
             packed, steps, nty_local, ntx, interpret, tile_w, nseg=nseg)
-        img = gs_ops.finalize_planes(r_, g_, b_, t_, visited, nty_local,
-                                     ntx, background, tail_slab=tail_slab,
-                                     tile_w=tile_w)  # (band_px, Wp, 3)
+        tail_planes = None
+        if bin_tail is not None:
+            # DECIMATED-TAIL composite over this band (ops.gs
+            # render_gaussians semantics: second pool extends each
+            # tile's sorted prefix at 1/d² pixel cost)
+            td_f = (gs_ops._TAIL_D if lod_tail_d is None else lod_tail_d)
+            pack_tl, steps_tl, kept_tl = bin_tail
+            packed_tl = gs_ops._pack_records(records, pack_tl)
+            vis_h = jnp.concatenate(
+                [visited, jnp.zeros((1,), bool)])[:, None, None]
+            td = gs_ops._decimate_t(jnp.where(vis_h, t_, 1.0), tile_w,
+                                    td_f)
+            rt, gt, bt, tt = gs_ops._composite_tail_call(
+                packed_tl, steps_tl, td, nty_local, ntx, interpret,
+                tile_w, decim=td_f, nseg=gs_ops._TAIL_SEG)
+            tail_planes = (rt, gt, bt, tt, td, kept_tl > 0)
+        img = gs_ops.finalize_planes(
+            r_, g_, b_, t_, visited, nty_local, ntx, background,
+            tail_slab=tail_slab, tile_w=tile_w,
+            tail_decim_planes=tail_planes,
+            decim=(gs_ops._TAIL_D if lod_tail_d is None
+                   else lod_tail_d))  # (band_px, Wp, 3)
         tile_exec = jnp.where(visited, texec[:-1, 0, 0], 0)
         # per-band saturation certificate (ops.gs.render_gaussians
         # semantics; whole-frame flag = AND over bands outside)

@@ -252,6 +252,33 @@ def test_gaussians_sharded_midfan_exact_certified_matches_single():
     assert err3.mean() < 5e-3, err3.mean()
 
 
+def test_gaussians_sharded_tail_decim_matches_single():
+    # the decimated-tail composite (inria production default since
+    # 2026-08-21: mpt=128 + tail=768 @ lod_tail_d=4) — sharded == single
+    # at both decimation factors. Pool grants are per-band, so parity is
+    # statistical (mean), like the other LOD-mode checks.
+    view, proj = camera()
+    cloud = random_cloud(1024, seed=5, extent=0.7,
+                         scale_range=(0.02, 0.28))
+    mesh = make_device_mesh()
+    caps = dict(big_splat_cap=256, mid_splat_cap=1024,
+                mid_lo_splat_cap=1024, corner_cap=512, tile_w=32)
+    for tail_d in (2, 4):
+        kw = dict(max_splats_per_tile=64, lod_tail_decim=128,
+                  lod_tail_d=tail_d, **caps)
+        s, st1 = render_gaussians(cloud, view, proj, W, H,
+                                  return_stats=True, interpret=True,
+                                  **kw)
+        d, st2 = render_gaussians_sharded(cloud, view, proj, W, H,
+                                          mesh, return_stats=True,
+                                          interpret=True, **kw)
+        err = np.abs(np.asarray(d) - np.asarray(s))
+        assert err.mean() < 5e-3, (tail_d, err.mean())
+        # the tail moves dropped-pair accounting behind the second pool
+        # on both paths
+        assert int(st2["overflow_pairs"]) >= 0
+
+
 def test_mid_cap_requires_big_cap():
     view, proj = camera()
     cloud = random_cloud(256, seed=1)

@@ -101,19 +101,24 @@ def main():
             4 * n + ntiles * gs.CHUNK,
             max_per_tile=mpt, big_cap=big, mid_cap=mid, mid_lo_cap=midlo,
             corner_cap=corner, tile_w=TW, nseg=knobs["lod_seg"],
-            ext=ps.ext)
+            ext=ps.ext, tail_decim=knobs["lod_tail_decim"])
         return recs, out
 
     def st_bin(t):
-        recs, (pidx, steps, vis, ov, ovb, _, _, _) = bin_out(t)
+        recs, (pidx, steps, vis, ov, ovb, _, _, bt) = bin_out(t)
         return (t + pidx[0].astype(jnp.float32) * 1e-12
                 + recs[0, 0] * 1e-12
-                + steps[0][0].astype(jnp.float32) * 1e-12)
+                + steps[0][0].astype(jnp.float32) * 1e-12
+                + (bt[0][0].astype(jnp.float32) * 1e-12
+                   if bt is not None else 0.0))
 
     def st_pack(t):
-        recs, (pidx, steps, vis, ov, ovb, _, _, _) = bin_out(t)
+        recs, (pidx, steps, vis, ov, ovb, _, _, bt) = bin_out(t)
         packed = gs._pack_records(recs, pidx)
-        return t + packed[0, 0] * 1e-12
+        acc = t + packed[0, 0] * 1e-12
+        if bt is not None:                 # tail records pack too
+            acc = acc + gs._pack_records(recs, bt[0])[0, 0] * 1e-12
+        return acc
 
     def st_full(t):
         v = mk_view(t)
