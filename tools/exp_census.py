@@ -152,7 +152,12 @@ def main():
         # truncated tile saturates => mpt_cert ~ ceil(need / ntiles).
         kw = bench.render_kwargs(knobs, exact=False,
                                  interpret=ctx.interpret)
-        kw.update(max_splats_per_tile=4096,
+        # 2048/tile: pool = ntiles*2048 >= any scene's whole emission
+        # (~3.4M pairs at 1M splats), i.e. effectively exact — and the
+        # composite grid stays under the Mosaic per-dimension step
+        # limit that 4096 blew at tile_w=32 (67k grid steps)
+        kw.update(max_splats_per_tile=2048,
+                  lod_tail_decim=None,   # probe the HEAD pool only
                   big_splat_cap=rec["big"] or None,
                   mid_splat_cap=rec["mid"] or None,
                   mid_lo_splat_cap=rec["midlo"] or None,
@@ -173,7 +178,7 @@ def main():
             t = np.float32(59 * k / max(nviews - 1, 1) / 60.0)
             tot, ndry, ovb = (int(x) for x in sat(cloud, t))
             print(f"view {k}: saturation need {tot} pairs "
-                  f"(dry@4096={ndry}, big_overflow={ovb})", flush=True)
+                  f"(dry@2048={ndry}, big_overflow={ovb})", flush=True)
             need_pk = max(need_pk, tot)
         mpt_cert = -(-int(need_pk * 1.05) // (ntiles * 128)) * 128
         print(f"recommend CERTIFIED mpt = {mpt_cert} "
